@@ -1,0 +1,29 @@
+"""Multi-chip scaling: mesh construction + GSPMD shardings.
+
+The reference is strictly single-device; its only scale mechanism is memory
+chunking (SURVEY.md §2). Here rendering and training shard the ray batch
+across chips (rendering is embarrassingly parallel per ray) with replicated
+parameters; XLA inserts the gradient all-reduce over ICI automatically.
+"""
+
+from nerf_sampling_tpu.parallel.mesh import (
+    make_mesh,
+    ray_sharding,
+    replicated_sharding,
+    shard_ray_batch,
+)
+from nerf_sampling_tpu.parallel.ops import (
+    make_sharded_eval,
+    make_sharded_depth_train_step,
+    make_sharded_nerf_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "make_sharded_depth_train_step",
+    "make_sharded_eval",
+    "make_sharded_nerf_train_step",
+    "ray_sharding",
+    "replicated_sharding",
+    "shard_ray_batch",
+]

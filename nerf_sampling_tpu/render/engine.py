@@ -1,0 +1,428 @@
+"""Core rendering: hierarchical NeRF sampling + DepthNet single-query path.
+
+Parity targets (behavior, not structure):
+- train path:  reference nerf_utils.py:497-733 (sample_as_in_NeRF + render_rays)
+- eval path:   reference nerf_utils.py:736-876 (render_rays_test, 4 modes)
+- full image:  reference nerf_utils.py:58-85,88-255 (batchify_rays + render)
+
+TPU-first design:
+- Everything below ``render_image`` is a pure function of
+  (pipeline: static config, params: pytree, rays: arrays, key) and compiles
+  to one XLA program — no Python chunk loops, no host sync inside the step.
+- ``render_image`` replaces the reference's Python ``batchify_rays`` loop with
+  a ``lax.map`` over fixed-size ray tiles (static shapes; the compiler
+  pipelines HBM traffic across tiles), or a single fused call when the batch
+  fits. Multi-chip sharding lives in nerf_sampling_tpu.parallel and wraps
+  these same functions with pjit — rendering is embarrassingly parallel over
+  rays.
+- The eval "modes" are Python-level enum dispatch: each mode is its own jit
+  specialization (XLA cannot branch on shape-changing paths at runtime).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nerf_sampling_tpu.core.compositing import RenderOutputs, raw2outputs
+from nerf_sampling_tpu.core.encoding import positional_encoding
+from nerf_sampling_tpu.core.rays import get_rays, ndc_rays
+from nerf_sampling_tpu.core.sampling import (
+    sample_pdf,
+    sample_points_around_mean,
+    stratified_z_vals,
+    z_to_points,
+)
+from nerf_sampling_tpu.models.depth_net import DepthNetConfig, depth_net_apply
+from nerf_sampling_tpu.models.nerf import NeRFConfig, nerf_apply
+
+
+class EvalMode(enum.Enum):
+    """Test-time rendering modes (reference render_rays_test, nerf_utils.py:788-865)."""
+
+    DEPTH_NET = "depth_net"  # DepthNet depth -> populate N samples -> NeRF
+    COMPARE_NERF = "compare_nerf"  # DEPTH_NET + full-NeRF argmax diagnostics
+    NERF_MAX = "nerf_max"  # render from the argmax-weight sample only
+    FULL_NERF = "full_nerf"  # vanilla hierarchical NeRF render
+
+
+class NeRFParams(NamedTuple):
+    """Dynamic parameter bundle (a pytree; any leaf may be None)."""
+
+    coarse: Any
+    fine: Any = None
+    depth: Any = None
+
+
+class RayBatch(NamedTuple):
+    """Unpacked equivalent of the reference's 11-column ray batch
+    (prepare_rays, nerf_utils.py:156-188)."""
+
+    rays_o: jnp.ndarray  # [N, 3]
+    rays_d: jnp.ndarray  # [N, 3]
+    viewdirs: jnp.ndarray | None  # [N, 3] unit, or None
+    near: jnp.ndarray  # [N, 1]
+    far: jnp.ndarray  # [N, 1]
+
+
+@dataclasses.dataclass(frozen=True)
+class Pipeline:
+    """Static rendering configuration — hashable, safe as a jit static arg."""
+
+    nerf: NeRFConfig
+    fine: NeRFConfig | None = None
+    depth: DepthNetConfig | None = None
+    multires: int = 10
+    multires_views: int = 4
+    i_embed: int = 0  # -1 disables positional encoding (reference get_embedder)
+    N_samples: int = 64
+    N_importance: int = 128
+    perturb: float = 1.0
+    raw_noise_std: float = 0.0
+    white_bkgd: bool = True
+    lindisp: bool = False
+    use_viewdirs: bool = True
+    ndc: bool = False
+    near: float = 2.0
+    far: float = 6.0
+    # eval-time depth population (reference render.py:208-212 defaults)
+    n_depth_samples: int = 2
+    sampling_mode: str = "uniform"
+    distance: float = 0.01
+
+    def embed_pts(self, pts: jnp.ndarray) -> jnp.ndarray:
+        if self.i_embed == -1:
+            return pts
+        return positional_encoding(pts, self.multires)
+
+    def embed_dirs(self, dirs: jnp.ndarray) -> jnp.ndarray:
+        if self.i_embed == -1:
+            return dirs
+        return positional_encoding(dirs, self.multires_views)
+
+
+def make_ray_batch(
+    pipeline: Pipeline,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    H: int | None = None,
+    W: int | None = None,
+    focal: float | None = None,
+) -> RayBatch:
+    """Normalize viewdirs, optionally reproject to NDC, attach bounds.
+
+    Mirrors reference prepare_rays (nerf_utils.py:156-188): viewdirs are the
+    pre-NDC directions; near/far come from the pipeline scalars.
+    """
+    viewdirs = None
+    if pipeline.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        viewdirs = viewdirs.reshape(-1, 3)
+    if pipeline.ndc:
+        rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    near = pipeline.near * jnp.ones_like(rays_d[..., :1])
+    far = pipeline.far * jnp.ones_like(rays_d[..., :1])
+    return RayBatch(rays_o, rays_d, viewdirs, near, far)
+
+
+def query_nerf(
+    pipeline: Pipeline,
+    params: Any,
+    cfg: NeRFConfig,
+    pts: jnp.ndarray,
+    viewdirs: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Embed points (+dirs) and evaluate one NeRF MLP.
+
+    Equivalent of reference run_network (Trainer.py:789-806) minus the
+    netchunk loop — under jit the whole [N*S, feat] batch is one fused
+    matmul chain on the MXU; memory is bounded by the caller's ray tiling.
+    """
+    emb = pipeline.embed_pts(pts)  # [N, S, Cp]
+    if viewdirs is not None:
+        dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+        emb = jnp.concatenate([emb, pipeline.embed_dirs(dirs)], -1)
+    return nerf_apply(params, cfg, emb)
+
+
+class HierarchicalResult(NamedTuple):
+    """Coarse + fine sampling outputs (reference sample_as_in_NeRF returns)."""
+
+    coarse: RenderOutputs
+    coarse_z_vals: jnp.ndarray  # [N, Nc]
+    fine: RenderOutputs  # == coarse when N_importance == 0
+    fine_z_vals: jnp.ndarray  # [N, Nc+Nf]
+    fine_pts: jnp.ndarray  # [N, Nc+Nf, 3]
+    fine_raw: jnp.ndarray  # [N, Nc+Nf, 4]
+
+
+def sample_as_in_nerf(
+    pipeline: Pipeline,
+    params: NeRFParams,
+    rays: RayBatch,
+    key: jax.Array,
+    *,
+    perturb: float | None = None,
+    raw_noise_std: float | None = None,
+) -> HierarchicalResult:
+    """Hierarchical coarse+fine sampling (reference nerf_utils.py:497-611).
+
+    perturb / raw_noise_std default to the pipeline values; eval passes 0.
+    """
+    perturb = pipeline.perturb if perturb is None else perturb
+    raw_noise_std = pipeline.raw_noise_std if raw_noise_std is None else raw_noise_std
+    k_strat, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+
+    # --- coarse stage (reference Trainer.sample_coarse_points, :579-649)
+    z_vals = stratified_z_vals(
+        rays.near,
+        rays.far,
+        pipeline.N_samples,
+        key=k_strat,
+        perturb=perturb,
+        lindisp=pipeline.lindisp,
+    )
+    pts = z_to_points(rays.rays_o, rays.rays_d, z_vals)
+    raw = query_nerf(pipeline, params.coarse, pipeline.nerf, pts, rays.viewdirs)
+    coarse = raw2outputs(
+        raw, z_vals, rays.rays_d, raw_noise_std, pipeline.white_bkgd, key=k_noise_c
+    )
+
+    if pipeline.N_importance <= 0:
+        return HierarchicalResult(coarse, z_vals, coarse, z_vals, pts, raw)
+
+    # --- fine stage (reference Trainer.sample_fine_points, :651-710)
+    z_mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_samples = sample_pdf(
+        z_mids,
+        coarse.weights[..., 1:-1],
+        pipeline.N_importance,
+        key=k_pdf,
+        det=(perturb == 0.0),
+    )
+    z_samples = jax.lax.stop_gradient(z_samples)  # reference detaches (:572)
+    fine_z = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+    fine_pts = z_to_points(rays.rays_o, rays.rays_d, fine_z)
+    fine_params = params.fine if params.fine is not None else params.coarse
+    fine_cfg = pipeline.fine if params.fine is not None else pipeline.nerf
+    fine_raw = query_nerf(pipeline, fine_params, fine_cfg, fine_pts, rays.viewdirs)
+    fine = raw2outputs(
+        fine_raw, fine_z, rays.rays_d, raw_noise_std, pipeline.white_bkgd, key=k_noise_f
+    )
+    return HierarchicalResult(coarse, z_vals, fine, fine_z, fine_pts, fine_raw)
+
+
+def _argmax_depth(
+    fine: RenderOutputs, fine_z: jnp.ndarray, rays: RayBatch
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(max_z_vals [N,1], max_pts [N,1,3], max_weights [N,1]) at argmax weight.
+
+    Reference nerf_utils.py:689-691 / :813-819.
+    """
+    top = jnp.argmax(fine.weights, axis=1, keepdims=True)
+    max_z = jnp.take_along_axis(fine_z, top, axis=1)
+    max_w = jnp.take_along_axis(fine.weights, top, axis=1)
+    max_pts = z_to_points(rays.rays_o, rays.rays_d, max_z)
+    return max_z, max_pts, max_w
+
+
+def _query_fine_or_coarse(
+    pipeline: Pipeline, params: NeRFParams, pts: jnp.ndarray, rays: RayBatch
+) -> jnp.ndarray:
+    """NeRF query preferring the fine network (reference nerf_utils.py:696-699)."""
+    if params.fine is not None:
+        return query_nerf(pipeline, params.fine, pipeline.fine, pts, rays.viewdirs)
+    return query_nerf(pipeline, params.coarse, pipeline.nerf, pts, rays.viewdirs)
+
+
+def render_rays_train(
+    pipeline: Pipeline,
+    params: NeRFParams,
+    rays: RayBatch,
+    key: jax.Array,
+) -> dict[str, jnp.ndarray]:
+    """Train-time renderer (reference render_rays, nerf_utils.py:614-733).
+
+    Full hierarchical NeRF -> argmax-weight depth target -> DepthNet predicts
+    one depth -> NeRF queried at that single point -> composited maps.
+    """
+    k_nerf, k_noise = jax.random.split(key)
+    hier = sample_as_in_nerf(pipeline, params, rays, k_nerf)
+    max_z, max_pts, _ = _argmax_depth(hier.fine, hier.fine_z_vals, rays)
+
+    depth_z = depth_net_apply(params.depth, pipeline.depth, rays.rays_o, rays.rays_d)
+    depth_pts = z_to_points(rays.rays_o, rays.rays_d, depth_z)
+    depth_raw = _query_fine_or_coarse(pipeline, params, depth_pts, rays)
+    out = raw2outputs(
+        depth_raw,
+        depth_z,
+        rays.rays_d,
+        pipeline.raw_noise_std,
+        pipeline.white_bkgd,
+        key=k_noise,
+    )
+    return {
+        "depth_net_rgb_map": out.rgb_map,
+        "depth_net_disp_map": out.disp_map,
+        "depth_net_z_vals": depth_z,
+        "max_z_vals": max_z,
+        "depth_net_pts": depth_pts,
+        "max_pts": max_pts,
+        "raw": depth_raw,
+    }
+
+
+def render_rays_vanilla(
+    pipeline: Pipeline,
+    params: NeRFParams,
+    rays: RayBatch,
+    key: jax.Array,
+) -> dict[str, jnp.ndarray]:
+    """Vanilla hierarchical NeRF train renderer (no DepthNet).
+
+    This is the reference's *intended* vanilla path — present but broken
+    there (SURVEY.md §2 defects #1/#4); here it is a first-class citizen so
+    NeRFs can be pretrained inside this framework.
+    """
+    hier = sample_as_in_nerf(pipeline, params, rays, key)
+    return {
+        "rgb_map": hier.fine.rgb_map,
+        "disp_map": hier.fine.disp_map,
+        "acc_map": hier.fine.acc_map,
+        "rgb0": hier.coarse.rgb_map,
+        "disp0": hier.coarse.disp_map,
+        "acc0": hier.coarse.acc_map,
+    }
+
+
+def render_rays_eval(
+    pipeline: Pipeline,
+    params: NeRFParams,
+    rays: RayBatch,
+    key: jax.Array,
+    mode: EvalMode = EvalMode.DEPTH_NET,
+) -> dict[str, jnp.ndarray]:
+    """Test-time renderer, 4 modes (reference render_rays_test, :736-876).
+
+    Eval uses perturb=0 and raw_noise_std=0 (reference create_nerf
+    render_kwargs_test, nerf_utils.py:490-492).
+    """
+    ret: dict[str, jnp.ndarray] = {}
+
+    if mode in (EvalMode.COMPARE_NERF, EvalMode.NERF_MAX, EvalMode.FULL_NERF):
+        hier = sample_as_in_nerf(
+            pipeline, params, rays, key, perturb=0.0, raw_noise_std=0.0
+        )
+        max_z, max_pts, max_w = _argmax_depth(hier.fine, hier.fine_z_vals, rays)
+        ret["max_z_vals"] = max_z
+        ret["max_pts"] = max_pts
+        ret["max_weights"] = max_w
+
+    if mode == EvalMode.NERF_MAX:
+        # Render from the argmax sample only (reference :824-829).
+        rgb = jax.nn.sigmoid(hier.fine_raw[..., :3])
+        top = jnp.argmax(hier.fine.weights, axis=1, keepdims=True)
+        max_rgb = jnp.take_along_axis(rgb, top[..., None], axis=1)[:, 0, :]
+        ret.update(
+            depth_net_rgb_map=max_rgb,
+            depth_net_disp_map=jnp.zeros_like(max_rgb),
+            depth_net_weights=max_w,
+            depth_net_pts=max_pts,
+            depth_net_z_vals=max_z,
+        )
+        return ret
+
+    if mode == EvalMode.FULL_NERF:
+        ret.update(
+            depth_net_rgb_map=hier.fine.rgb_map,
+            depth_net_disp_map=hier.fine.disp_map,
+            depth_net_weights=hier.fine.weights,
+            depth_net_pts=hier.fine_pts,
+            depth_net_z_vals=hier.fine_z_vals,
+        )
+        return ret
+
+    # DEPTH_NET (default) and the depth-net half of COMPARE_NERF (:837-865).
+    k_pop, _ = jax.random.split(key)
+    depth_mean = depth_net_apply(
+        params.depth, pipeline.depth, rays.rays_o, rays.rays_d
+    )
+    depth_pts, depth_z = sample_points_around_mean(
+        rays.rays_o,
+        rays.rays_d,
+        depth_mean,
+        n_samples=pipeline.n_depth_samples,
+        mode=pipeline.sampling_mode,
+        std=pipeline.distance,
+        key=k_pop,
+    )
+    depth_raw = _query_fine_or_coarse(pipeline, params, depth_pts, rays)
+    out = raw2outputs(depth_raw, depth_z, rays.rays_d, 0.0, pipeline.white_bkgd)
+    ret.update(
+        depth_net_rgb_map=out.rgb_map,
+        depth_net_disp_map=out.disp_map,
+        depth_net_weights=out.weights,
+        depth_net_pts=depth_pts,
+        depth_net_z_vals=depth_z,
+    )
+    return ret
+
+
+def _pad_to_multiple(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    n = x.shape[0]
+    pad = (-n) % m
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+
+
+def render_image(
+    pipeline: Pipeline,
+    params: NeRFParams,
+    H: int,
+    W: int,
+    K: jnp.ndarray,
+    c2w: jnp.ndarray,
+    key: jax.Array,
+    mode: EvalMode = EvalMode.DEPTH_NET,
+    chunk: int = 1024 * 32,
+) -> dict[str, jnp.ndarray]:
+    """Render a full image: rays -> tiled eval -> [H, W, ...] maps.
+
+    The reference's host-side batchify loop (nerf_utils.py:58-85) becomes a
+    ``lax.map`` over fixed-size tiles inside one jit program: static shapes,
+    no host round-trips, XLA overlaps tile DMA with compute.
+    """
+    rays_o, rays_d = get_rays(H, W, K, c2w)
+    focal = K[0][0]
+    rays = make_ray_batch(
+        pipeline,
+        rays_o.reshape(-1, 3),
+        rays_d.reshape(-1, 3),
+        H=H,
+        W=W,
+        focal=focal,
+    )
+    n = H * W
+    chunk = min(chunk, n)
+    padded = jax.tree.map(lambda x: _pad_to_multiple(x, chunk), rays)
+    n_tiles = padded.rays_o.shape[0] // chunk
+    tiled = jax.tree.map(lambda x: x.reshape(n_tiles, chunk, *x.shape[1:]), padded)
+    keys = jax.random.split(key, n_tiles)
+
+    def tile_fn(args):
+        tile_rays, tile_key = args
+        return render_rays_eval(pipeline, params, tile_rays, tile_key, mode)
+
+    maps = jax.lax.map(tile_fn, (tiled, keys))
+    out = {}
+    for name, v in maps.items():
+        flat = v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
+        out[name] = flat.reshape(H, W, *v.shape[2:])
+    return out

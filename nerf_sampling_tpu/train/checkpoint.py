@@ -1,0 +1,250 @@
+"""Checkpointing: native .npz pytree snapshots + torch-``.tar`` interop.
+
+Native format: one flat .npz per checkpoint holding every pytree leaf in
+flatten order plus the global step — fast, dependency-free, resume-exact
+(params AND optimizer state round-trip).
+
+Torch interop (reference format, utils.py:59-122): import reads the
+reference's ``{step:06d}.tar`` files so reference-pretrained NeRFs /
+DepthNets seed training here; export writes a torch-loadable .tar with the
+same keys (``global_step``, ``network_fn_state_dict``,
+``network_fine_state_dict``, ``depth_network``, ``optimizer_state_dict``,
+``sampling_optimizer_state_dict``) so models trained here load in the
+reference. Optimizer *moments* do not cross the torch boundary (different
+optimizer state layouts); step/lr scheduling state does.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Native .npz checkpoints
+# --------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, tree: Any, step: int) -> None:
+    """Save a pytree + step to .npz, keyed by tree path strings.
+
+    Key-based (not order-based) storage lets a later load restore any
+    structural subtree (e.g. params-only without optimizer state).
+    """
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    arrays = {
+        "tree:" + jax.tree_util.keystr(p): np.asarray(leaf) for p, leaf in flat
+    }
+    arrays["global_step"] = np.asarray(step)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str, template: Any, partial: bool = False) -> tuple[Any, int]:
+    """Restore ``template``'s leaves from a save_checkpoint .npz by path key.
+
+    The template may be a structural subtree of what was saved (extra saved
+    keys are ignored). With ``partial=True``, template leaves missing from
+    the file keep their template values instead of raising.
+    """
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for p, leaf in flat:
+        key = "tree:" + jax.tree_util.keystr(p)
+        if key in data:
+            leaves.append(data[key])
+        elif partial:
+            leaves.append(leaf)
+        else:
+            raise KeyError(f"checkpoint {path} is missing leaf {key}")
+    step = int(data["global_step"])
+    return jax.tree_util.tree_unflatten(treedef, leaves), step
+
+
+def find_checkpoints(dirpath: str, pattern: str = r"\.(npz|tar)$") -> list[str]:
+    """Sorted checkpoint paths in a directory (reference nerf_utils.py:451-458
+    sorts by filename; zero-padded step names keep that correct)."""
+    if not os.path.isdir(dirpath):
+        return []
+    return [
+        os.path.join(dirpath, f)
+        for f in sorted(os.listdir(dirpath))
+        if re.search(pattern, f)
+    ]
+
+
+# --------------------------------------------------------------------------
+# Torch interop
+# --------------------------------------------------------------------------
+
+
+def _t2np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+
+
+def _linear_from_torch(sd: dict, prefix: str) -> dict[str, np.ndarray]:
+    """torch Linear [out, in] -> ours [in, out]."""
+    return {
+        "weight": _t2np(sd[f"{prefix}.weight"]).T.copy(),
+        "bias": _t2np(sd[f"{prefix}.bias"]),
+    }
+
+
+def nerf_params_from_torch(sd: dict) -> dict:
+    """Map a reference NeRF state_dict to our param pytree
+    (names from run_nerf_helpers.py:87-107)."""
+    n_pts = len({k.split(".")[1] for k in sd if k.startswith("pts_linears.")})
+    params: dict = {
+        "pts_linears": [_linear_from_torch(sd, f"pts_linears.{i}") for i in range(n_pts)]
+    }
+    if "feature_linear.weight" in sd:
+        params["feature_linear"] = _linear_from_torch(sd, "feature_linear")
+        params["alpha_linear"] = _linear_from_torch(sd, "alpha_linear")
+        n_views = len(
+            {k.split(".")[1] for k in sd if k.startswith("views_linears.")}
+        )
+        params["views_linears"] = [
+            _linear_from_torch(sd, f"views_linears.{i}") for i in range(n_views)
+        ]
+        params["rgb_linear"] = _linear_from_torch(sd, "rgb_linear")
+    else:
+        params["output_linear"] = _linear_from_torch(sd, "output_linear")
+    return params
+
+
+def depth_net_params_from_torch(sd: dict) -> dict:
+    """Map a reference DepthNet state_dict (depth_net.py:103-107) to ours.
+
+    cat_layers is an nn.Sequential with LeakyReLU at odd indices, so only
+    even indices carry weights; to_depth is [Linear, Sigmoid] -> index 0.
+    """
+
+    def tower(name: str) -> list[dict]:
+        idxs = sorted(
+            {int(k.split(".")[1]) for k in sd if k.startswith(f"{name}.")}
+        )
+        return [_linear_from_torch(sd, f"{name}.{i}") for i in idxs]
+
+    return {
+        "origin_layers": tower("origin_layers"),
+        "direction_layers": tower("direction_layers"),
+        "intersection_layers": tower("intersection_layers"),
+        "cat_layers": tower("cat_layers"),  # odd (activation) indices have no keys
+        "to_depth": _linear_from_torch(sd, "to_depth.0"),
+    }
+
+
+def import_torch_checkpoint(path: str) -> dict:
+    """Read a reference ``.tar`` checkpoint (format: utils.py:79-88).
+
+    Returns {"global_step", "nerf_coarse", "nerf_fine"|None, "depth"|None}.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    out: dict[str, Any] = {"global_step": int(ckpt.get("global_step", 0))}
+    if ckpt.get("network_fn_state_dict"):
+        out["nerf_coarse"] = nerf_params_from_torch(ckpt["network_fn_state_dict"])
+    out["nerf_fine"] = (
+        nerf_params_from_torch(ckpt["network_fine_state_dict"])
+        if ckpt.get("network_fine_state_dict")
+        else None
+    )
+    out["depth"] = (
+        depth_net_params_from_torch(ckpt["depth_network"])
+        if ckpt.get("depth_network")
+        else None
+    )
+    return out
+
+
+def _linear_to_torch(p: dict, prefix: str, sd: dict) -> None:
+    import torch
+
+    sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["weight"]).T.copy())
+    sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["bias"]).copy())
+
+
+def nerf_params_to_torch(params: dict) -> dict:
+    sd: dict = {}
+    for i, layer in enumerate(params["pts_linears"]):
+        _linear_to_torch(layer, f"pts_linears.{i}", sd)
+    if "feature_linear" in params:
+        _linear_to_torch(params["feature_linear"], "feature_linear", sd)
+        _linear_to_torch(params["alpha_linear"], "alpha_linear", sd)
+        for i, layer in enumerate(params["views_linears"]):
+            _linear_to_torch(layer, f"views_linears.{i}", sd)
+        _linear_to_torch(params["rgb_linear"], "rgb_linear", sd)
+    else:
+        _linear_to_torch(params["output_linear"], "output_linear", sd)
+    return sd
+
+
+def depth_net_params_to_torch(params: dict) -> dict:
+    sd: dict = {}
+    for name in ("origin_layers", "direction_layers", "intersection_layers"):
+        for i, layer in enumerate(params[name]):
+            _linear_to_torch(layer, f"{name}.{i}", sd)
+    for i, layer in enumerate(params["cat_layers"]):
+        _linear_to_torch(layer, f"cat_layers.{2 * i}", sd)  # LeakyReLU at odd idx
+    _linear_to_torch(params["to_depth"], "to_depth.0", sd)
+    return sd
+
+
+def _empty_adam_state_dict(n_params: int, lr: float) -> dict:
+    """A torch-Adam-loadable optimizer state with no moments (fresh start)."""
+    return {
+        "state": {},
+        "param_groups": [
+            {
+                "lr": lr,
+                "betas": (0.9, 0.999),
+                "eps": 1e-8,
+                "weight_decay": 0,
+                "amsgrad": False,
+                "maximize": False,
+                "foreach": None,
+                "capturable": False,
+                "differentiable": False,
+                "fused": None,
+                "params": list(range(n_params)),
+            }
+        ],
+    }
+
+
+def export_torch_checkpoint(
+    path: str,
+    step: int,
+    nerf_coarse: dict,
+    nerf_fine: dict | None = None,
+    depth: dict | None = None,
+    lrate: float = 5e-4,
+    depth_net_lr: float = 1e-4,
+) -> None:
+    """Write a reference-format .tar (utils.py:79-88 keys) loadable by torch."""
+    import torch
+
+    coarse_sd = nerf_params_to_torch(nerf_coarse)
+    n_nerf = len(coarse_sd)
+    data: dict[str, Any] = {
+        "global_step": step,
+        "network_fn_state_dict": coarse_sd,
+    }
+    if nerf_fine is not None:
+        fine_sd = nerf_params_to_torch(nerf_fine)
+        data["network_fine_state_dict"] = fine_sd
+        n_nerf += len(fine_sd)
+    data["optimizer_state_dict"] = _empty_adam_state_dict(n_nerf, lrate)
+    depth_sd = depth_net_params_to_torch(depth) if depth is not None else {}
+    data["depth_network"] = depth_sd
+    data["sampling_optimizer_state_dict"] = _empty_adam_state_dict(
+        len(depth_sd), depth_net_lr
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save(data, path)

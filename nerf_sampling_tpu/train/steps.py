@@ -1,0 +1,112 @@
+"""Jitted training steps.
+
+Parity target: reference Trainer.core_optimization_loop (Trainer.py:506-544).
+The reference calls ``depth_net_loss.backward(retain_graph=True)`` then
+``loss.backward()`` and steps ONLY the sampling optimizer — i.e. the depth
+net receives the sum of both gradients and the (frozen) NeRF receives none.
+In JAX that collapses to one differentiation of
+``img_loss + mse(depth_z, stop_grad(max_z))`` w.r.t. the depth params only
+(the hierarchical NeRF pass never touches depth params, so max_z needs no
+explicit detach on this path — stop_gradient kept for clarity).
+
+``make_nerf_train_step`` is the intended-but-broken vanilla path of the
+reference (SURVEY.md §2 defect #4: its NeRF optimizer is created and decayed
+but never stepped); here it trains coarse+fine for real so NeRFs can be
+pretrained natively.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_sampling_tpu.core.metrics import img2mse, mse2psnr
+from nerf_sampling_tpu.render.engine import (
+    NeRFParams,
+    Pipeline,
+    RayBatch,
+    render_rays_train,
+    render_rays_vanilla,
+)
+from nerf_sampling_tpu.train.state import TrainState
+
+
+def make_depth_net_train_step(
+    pipeline: Pipeline, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Build the jitted depth-net-only train step (frozen NeRF)."""
+
+    def step(
+        nerf_params: NeRFParams,  # .depth ignored; coarse/fine frozen
+        depth_state: TrainState,
+        rays: RayBatch,
+        target: jnp.ndarray,
+        key: jax.Array,
+    ) -> tuple[TrainState, dict[str, jnp.ndarray]]:
+        def loss_fn(depth_params: Any):
+            params = NeRFParams(nerf_params.coarse, nerf_params.fine, depth_params)
+            out = render_rays_train(pipeline, params, rays, key)
+            img_loss = img2mse(out["depth_net_rgb_map"], target)
+            depth_loss = img2mse(
+                out["depth_net_z_vals"], jax.lax.stop_gradient(out["max_z_vals"])
+            )
+            return img_loss + depth_loss, (img_loss, depth_loss)
+
+        grads, (img_loss, depth_loss) = jax.grad(loss_fn, has_aux=True)(
+            depth_state.params
+        )
+        updates, opt_state = optimizer.update(
+            grads, depth_state.opt_state, depth_state.params
+        )
+        new_params = optax.apply_updates(depth_state.params, updates)
+        metrics = {
+            "loss": img_loss,
+            "depth_net_loss": depth_loss,
+            "psnr": mse2psnr(img_loss),
+        }
+        return TrainState(depth_state.step + 1, new_params, opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def make_nerf_train_step(
+    pipeline: Pipeline, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Build the jitted vanilla hierarchical NeRF train step.
+
+    Optimizes {coarse, fine} jointly with
+    loss = img2mse(fine_rgb, target) + img2mse(coarse_rgb, target)
+    (the standard NeRF objective the reference's machinery implies).
+    """
+
+    def step(
+        nerf_state: TrainState,  # params: NeRFParams(coarse, fine, depth=None)
+        rays: RayBatch,
+        target: jnp.ndarray,
+        key: jax.Array,
+    ) -> tuple[TrainState, dict[str, jnp.ndarray]]:
+        def loss_fn(params: NeRFParams):
+            out = render_rays_vanilla(pipeline, params, rays, key)
+            img_loss = img2mse(out["rgb_map"], target)
+            img_loss0 = img2mse(out["rgb0"], target)
+            return img_loss + img_loss0, (img_loss, img_loss0)
+
+        grads, (img_loss, img_loss0) = jax.grad(loss_fn, has_aux=True)(
+            nerf_state.params
+        )
+        updates, opt_state = optimizer.update(
+            grads, nerf_state.opt_state, nerf_state.params
+        )
+        new_params = optax.apply_updates(nerf_state.params, updates)
+        metrics = {
+            "loss": img_loss + img_loss0,
+            "img_loss": img_loss,
+            "psnr": mse2psnr(img_loss),
+            "psnr0": mse2psnr(img_loss0),
+        }
+        return TrainState(nerf_state.step + 1, new_params, opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,433 @@
+"""Training orchestration.
+
+Functional replacement for the reference's 806-line template-method Trainer
+(trainers/Trainer.py): data loading, model/optimizer setup, checkpoint
+restore, the train loop, periodic eval/ckpt/video, and the render-only path.
+The per-step compute is one jitted function (steps.py); everything here is
+host-side orchestration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from nerf_sampling_tpu.core.metrics import to8b
+from nerf_sampling_tpu.data.types import SceneData
+from nerf_sampling_tpu.render.engine import (
+    EvalMode,
+    NeRFParams,
+    Pipeline,
+    make_ray_batch,
+)
+from nerf_sampling_tpu.render.path import render_path
+from nerf_sampling_tpu.models import depth_net_init, nerf_init
+from nerf_sampling_tpu.train import checkpoint as ckpt_lib
+from nerf_sampling_tpu.train.sampler import RaySampler, SamplerConfig
+from nerf_sampling_tpu.train.state import (
+    TrainState,
+    init_state,
+    make_depth_optimizer,
+    make_nerf_optimizer,
+)
+from nerf_sampling_tpu.train.steps import (
+    make_depth_net_train_step,
+    make_nerf_train_step,
+)
+from nerf_sampling_tpu.utils.config import TrainerConfig
+from nerf_sampling_tpu.utils.logging import MetricsLogger
+
+
+class Trainer:
+    """Drives depth-net training (frozen NeRF) or vanilla NeRF pretraining."""
+
+    def __init__(self, cfg: TrainerConfig, trial: Any = None):
+        self.cfg = cfg
+        self.trial = trial  # optuna trial (optional, for HPO pruning)
+        self.global_step = 0
+        self.start = 0
+        self.scene: SceneData | None = None
+        self.pipeline: Pipeline | None = None
+        self.params: NeRFParams | None = None
+        self.logger: MetricsLogger | None = None
+        self._avg_eval_psnr = 0.0
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    @property
+    def expdir(self) -> str:
+        return os.path.join(self.cfg.basedir, self.cfg.expname)
+
+    def load_data(self) -> SceneData:
+        """Dispatch on dataset_type (reference per-dataset trainers)."""
+        cfg = self.cfg
+        if cfg.dataset_type == "blender":
+            from nerf_sampling_tpu.data.blender import load_blender_data
+
+            scene = load_blender_data(cfg.datadir, cfg.half_res, cfg.testskip)
+            if cfg.white_bkgd:
+                scene.composite_white_background()
+            else:
+                scene.drop_alpha()
+            scene.near, scene.far = cfg.near, cfg.far
+        elif cfg.dataset_type == "llff":
+            from nerf_sampling_tpu.data.llff import load_llff_scene
+
+            scene = load_llff_scene(cfg)
+        elif cfg.dataset_type == "LINEMOD":
+            from nerf_sampling_tpu.data.linemod import load_linemod_scene
+
+            scene = load_linemod_scene(cfg)
+        elif cfg.dataset_type == "deepvoxels":
+            from nerf_sampling_tpu.data.deepvoxels import load_deepvoxels_scene
+
+            scene = load_deepvoxels_scene(cfg)
+        else:
+            raise ValueError(f"unknown dataset_type {cfg.dataset_type}")
+        return scene
+
+    def create_log_dir_and_dump_config(self) -> None:
+        """args.txt + config copy (reference Trainer.py:148-160)."""
+        os.makedirs(self.expdir, exist_ok=True)
+        with open(os.path.join(self.expdir, "args.txt"), "w") as f:
+            for k, v in dataclasses.asdict(self.cfg).items():
+                f.write(f"{k} = {v}\n")
+        if self.cfg.config_path is not None and os.path.exists(self.cfg.config_path):
+            with open(self.cfg.config_path) as src, open(
+                os.path.join(self.expdir, "config.txt"), "w"
+            ) as dst:
+                dst.write(src.read())
+
+    def _init_params(self) -> NeRFParams:
+        cfg, p = self.cfg, self.pipeline
+        key = jax.random.PRNGKey(cfg.seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        return NeRFParams(
+            coarse=nerf_init(k1, p.nerf),
+            fine=nerf_init(k2, p.fine) if p.fine is not None else None,
+            depth=depth_net_init(k3, p.depth) if p.depth is not None else None,
+        )
+
+    def setup_models(self) -> None:
+        cfg = self.cfg
+        with_depth = cfg.train_mode == "depth_net"
+        self.pipeline = cfg.pipeline(with_depth=with_depth)
+        params = self._init_params()
+        self._resume_ckpt_path: str | None = None
+
+        # --- NeRF restore (reference nerf_utils.py:451-467: ft_path or newest)
+        nerf_ckpts = (
+            [cfg.ft_path]
+            if cfg.ft_path not in (None, "None")
+            else ckpt_lib.find_checkpoints(self.expdir, r"^(?!depth_).*\.(npz|tar)$")
+        )
+        nerf_start = 0
+        if nerf_ckpts and not cfg.no_reload and os.path.exists(nerf_ckpts[-1]):
+            path = nerf_ckpts[-1]
+            print(f"Reloading NeRF from {path}")
+            if path.endswith(".tar"):
+                data = ckpt_lib.import_torch_checkpoint(path)
+                params = params._replace(
+                    coarse=data["nerf_coarse"],
+                    fine=data.get("nerf_fine") or params.fine,
+                )
+                if data.get("depth") and with_depth and cfg.depth_net_path is None:
+                    params = params._replace(depth=data["depth"])
+                nerf_start = data["global_step"]
+            else:
+                tree, nerf_start = ckpt_lib.load_checkpoint(
+                    path,
+                    {"params": NeRFParams(params.coarse, params.fine, None)},
+                )
+                params = params._replace(
+                    coarse=tree["params"].coarse, fine=tree["params"].fine
+                )
+                if cfg.train_mode == "nerf":
+                    self._resume_ckpt_path = path
+
+        # --- DepthNet restore (reference sampling_trainer.py:82-108)
+        depth_start = None
+        if with_depth:
+            depth_ckpts = (
+                [cfg.depth_net_path]
+                if cfg.depth_net_path not in (None, "None")
+                else ckpt_lib.find_checkpoints(self.expdir, r"^depth_.*\.npz$")
+            )
+            if depth_ckpts and not cfg.no_reload and os.path.exists(depth_ckpts[-1]):
+                path = depth_ckpts[-1]
+                print(f"Reloading DepthNet from {path}")
+                if path.endswith(".tar"):
+                    data = ckpt_lib.import_torch_checkpoint(path)
+                    if data.get("depth"):
+                        params = params._replace(depth=data["depth"])
+                    depth_start = data["global_step"]
+                else:
+                    tree, depth_start = ckpt_lib.load_checkpoint(
+                        path, {"params": params}
+                    )
+                    params = params._replace(depth=tree["params"].depth)
+                    self._resume_ckpt_path = path
+
+        self.params = params
+        if cfg.train_mode == "depth_net":
+            self.start = depth_start if depth_start is not None else 0
+        else:
+            self.start = nerf_start
+        self.global_step = self.start
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def train(self, N_iters: int = 200001) -> float:
+        cfg = self.cfg
+        self.scene = self.load_data()
+        self.create_log_dir_and_dump_config()
+        self.setup_models()
+        self.logger = MetricsLogger(self.expdir, cfg.wandb_mode, cfg)
+
+        if cfg.render_only:
+            return self.render_only_path()
+
+        sampler = RaySampler(
+            self.scene,
+            SamplerConfig(
+                N_rand=cfg.N_rand,
+                use_batching=not cfg.no_batching,
+                precrop_iters=cfg.precrop_iters,
+                precrop_frac=cfg.precrop_frac,
+                single_image=cfg.single_image,
+                single_ray=cfg.single_ray,
+            ),
+            seed=cfg.seed,
+        )
+
+        if cfg.train_mode == "depth_net":
+            optimizer = make_depth_optimizer(cfg.depth_net_lr)
+            state = init_state(self.params.depth, optimizer, self.start)
+            step_fn = make_depth_net_train_step(self.pipeline, optimizer)
+        else:
+            optimizer = make_nerf_optimizer(cfg.lrate, cfg.lrate_decay)
+            state = init_state(
+                self.params._replace(depth=None), optimizer, self.start
+            )
+            step_fn = make_nerf_train_step(self.pipeline, optimizer)
+
+        # Exact-resume: restore optimizer moments when the newest native
+        # checkpoint matches this train mode.
+        if self._resume_ckpt_path is not None:
+            try:
+                restored, _ = ckpt_lib.load_checkpoint(
+                    self._resume_ckpt_path, {"opt_state": state.opt_state}
+                )
+                state = state._replace(opt_state=restored["opt_state"])
+                print(f"Restored optimizer state from {self._resume_ckpt_path}")
+            except KeyError:
+                pass
+
+        base_key = jax.random.PRNGKey(cfg.seed)
+        metrics: dict[str, Any] = {}
+        from tqdm import trange
+
+        for i in trange(self.start + 1, N_iters):
+            ro, rd, target = sampler.sample(i)
+            rays = make_ray_batch(self.pipeline, ro, rd)
+            key = jax.random.fold_in(base_key, i)
+            if cfg.train_mode == "depth_net":
+                state, metrics = step_fn(self.params, state, rays, target, key)
+                self.params = self.params._replace(depth=state.params)
+            else:
+                state, metrics = step_fn(state, rays, target, key)
+                self.params = state.params._replace(depth=self.params.depth)
+            self.global_step = i
+            self.log(i, metrics, state)
+
+        final = metrics.get("psnr")
+        return float(final) if final is not None else 0.0
+
+    # ------------------------------------------------------------------
+    # logging / eval / checkpoints (reference Trainer.log, :271-398)
+    # ------------------------------------------------------------------
+
+    def _eval_mode(self) -> EvalMode:
+        cfg = self.cfg
+        if cfg.use_nerf_max_pts:
+            return EvalMode.NERF_MAX
+        if cfg.use_full_nerf or cfg.train_mode == "nerf":
+            return EvalMode.FULL_NERF
+        if cfg.compare_nerf:
+            return EvalMode.COMPARE_NERF
+        return EvalMode.DEPTH_NET
+
+    def log(self, i: int, metrics: dict, state: TrainState) -> None:
+        cfg = self.cfg
+        scene = self.scene
+
+        if i % cfg.i_weights == 0:
+            self.save_checkpoint(i, state)
+
+        if i % cfg.i_testset == 0 and i > 0 and len(scene.i_test) > 0:
+            testsavedir = os.path.join(self.expdir, f"testset_{i:06d}")
+            os.makedirs(testsavedir, exist_ok=True)
+            _, _, avg_psnr = render_path(
+                self.pipeline,
+                self.params,
+                scene.poses[scene.i_test],
+                scene.hwf,
+                scene.intrinsics(),
+                jax.random.PRNGKey(0),
+                mode=self._eval_mode(),
+                chunk=cfg.chunk,
+                gt_imgs=scene.images[scene.i_test],
+                savedir=testsavedir,
+                logger=self.logger,
+                verbose=False,
+            )
+            self._avg_eval_psnr = avg_psnr
+            self.logger.log({"test_psnr": avg_psnr}, i)
+            print(f"Saved test set (avg PSNR {avg_psnr:.3f})")
+            if cfg.save_train_set_render:
+                trainsavedir = os.path.join(self.expdir, f"trainset_{i:06d}")
+                os.makedirs(trainsavedir, exist_ok=True)
+                render_path(
+                    self.pipeline,
+                    self.params,
+                    scene.poses[scene.i_train[:10]],
+                    scene.hwf,
+                    scene.intrinsics(),
+                    jax.random.PRNGKey(0),
+                    mode=self._eval_mode(),
+                    chunk=cfg.chunk,
+                    savedir=trainsavedir,
+                    verbose=False,
+                )
+
+        if i % cfg.i_video == 0 and i > 0:
+            self.save_spiral_video(i)
+
+        if i % cfg.i_print == 0:
+            loss = float(metrics.get("loss", np.nan))
+            dn_loss = float(metrics.get("depth_net_loss", np.nan))
+            psnr = float(metrics.get("psnr", np.nan))
+            info = (
+                f"Iter: {i} Loss: {loss}, Depth Net Loss: {dn_loss}, "
+                f"PSNR: {psnr:.5f}"
+            )
+            print(info)
+            self.logger.log(
+                {"Loss": loss, "Depth net loss": dn_loss, "Depth net PSNR": psnr}, i
+            )
+            with open(os.path.join(self.expdir, "psnr.txt"), "a") as f:
+                f.write(f"{info}\n")
+            if self.trial is not None:
+                self._report_trial(psnr, i)
+
+    def _report_trial(self, psnr: float, step: int) -> None:
+        """optuna pruning hook (reference Trainer.py:393-398)."""
+        import optuna
+
+        self.trial.report(psnr, step)
+        if self.trial.should_prune():
+            raise optuna.exceptions.TrialPruned()
+
+    def save_checkpoint(self, i: int, state: TrainState) -> None:
+        cfg = self.cfg
+        tree = {
+            "params": self.params,
+            "opt_state": state.opt_state,
+        }
+        path = os.path.join(self.expdir, f"{i:06d}.npz")
+        if cfg.train_mode == "depth_net":
+            path = os.path.join(self.expdir, f"depth_{i:06d}.npz")
+        ckpt_lib.save_checkpoint(path, tree, i)
+        if cfg.export_torch_ckpt:
+            ckpt_lib.export_torch_checkpoint(
+                os.path.join(self.expdir, f"{i:06d}.tar"),
+                i,
+                self.params.coarse,
+                self.params.fine,
+                self.params.depth,
+                lrate=cfg.lrate,
+                depth_net_lr=cfg.depth_net_lr,
+            )
+        print("Saved checkpoints at", path)
+
+    def save_spiral_video(self, i: int) -> None:
+        cfg, scene = self.cfg, self.scene
+        rgbs, disps, _ = render_path(
+            self.pipeline,
+            self.params,
+            scene.render_poses,
+            scene.hwf,
+            scene.intrinsics(),
+            jax.random.PRNGKey(0),
+            mode=self._eval_mode(),
+            chunk=cfg.chunk,
+            verbose=False,
+        )
+        moviebase = os.path.join(self.expdir, f"{cfg.expname}_spiral_{i:06d}_")
+        try:
+            import imageio.v2 as imageio
+
+            imageio.mimwrite(moviebase + "rgb.mp4", to8b(rgbs), fps=30, quality=8)
+            imageio.mimwrite(
+                moviebase + "disp.mp4",
+                to8b(disps / np.max(disps)),
+                fps=30,
+                quality=8,
+            )
+        except Exception as e:  # missing ffmpeg backend: save frames instead
+            print(f"[video] mp4 write failed ({e}); saving npz frames")
+            np.savez(moviebase + "frames.npz", rgbs=rgbs, disps=disps)
+
+    # ------------------------------------------------------------------
+    # render-only (reference Trainer.render, :181-230)
+    # ------------------------------------------------------------------
+
+    def render_only_path(self) -> float:
+        cfg, scene = self.cfg, self.scene
+        if cfg.render_test:
+            poses = scene.poses[scene.i_test]
+            gt = scene.images[scene.i_test]
+        else:
+            poses = scene.render_poses
+            gt = None
+        testsavedir = os.path.join(
+            self.expdir,
+            "renderonly_{}_{:06d}".format(
+                "test" if cfg.render_test else "path", self.global_step
+            ),
+        )
+        os.makedirs(testsavedir, exist_ok=True)
+        rgbs, _, avg_psnr = render_path(
+            self.pipeline,
+            self.params,
+            poses,
+            scene.hwf,
+            scene.intrinsics(),
+            jax.random.PRNGKey(cfg.seed),
+            mode=self._eval_mode(),
+            chunk=cfg.chunk,
+            gt_imgs=gt,
+            savedir=testsavedir,
+            render_factor=cfg.render_factor,
+            save_scene_data=cfg.save_scene_data,
+            step=self.global_step,
+            logger=self.logger,
+        )
+        print("Done rendering", testsavedir)
+        try:
+            import imageio.v2 as imageio
+
+            imageio.mimwrite(
+                os.path.join(testsavedir, "video.mp4"), to8b(rgbs), fps=30, quality=8
+            )
+        except Exception as e:
+            print(f"[video] mp4 write failed ({e})")
+        return avg_psnr

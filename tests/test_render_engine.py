@@ -1,0 +1,199 @@
+"""Render-engine contract tests: shapes, modes, determinism, tiling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_sampling_tpu.models import (
+    DepthNetConfig,
+    NeRFConfig,
+    depth_net_init,
+    nerf_init,
+)
+from nerf_sampling_tpu.render import (
+    EvalMode,
+    NeRFParams,
+    Pipeline,
+    make_ray_batch,
+    render_image,
+    render_rays_eval,
+    render_rays_train,
+    sample_as_in_nerf,
+)
+
+
+def tiny_pipeline(**kw) -> Pipeline:
+    nerf_cfg = NeRFConfig(
+        D=3, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+        skips=(1,), use_viewdirs=True,
+    )
+    depth_cfg = DepthNetConfig(hidden_sizes=(16, 16), cat_hidden_sizes=(16, 16))
+    defaults = dict(
+        nerf=nerf_cfg, fine=nerf_cfg, depth=depth_cfg,
+        N_samples=8, N_importance=16, n_depth_samples=4,
+        sampling_mode="uniform", distance=0.1,
+    )
+    defaults.update(kw)
+    return Pipeline(**defaults)
+
+
+def tiny_params(pipeline: Pipeline) -> NeRFParams:
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+    return NeRFParams(
+        coarse=nerf_init(k1, pipeline.nerf),
+        fine=nerf_init(k2, pipeline.fine) if pipeline.fine else None,
+        depth=depth_net_init(k3, pipeline.depth) if pipeline.depth else None,
+    )
+
+
+def sphere_hitting_rays(pipeline: Pipeline, n: int = 12):
+    """Rays from z=+4 looking down -z: guaranteed to hit the r=2 sphere."""
+    key = jax.random.PRNGKey(7)
+    ro = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), (n, 1))
+    rd = jax.random.uniform(key, (n, 3), minval=-0.2, maxval=0.2)
+    rd = rd.at[:, 2].set(-1.0)
+    return make_ray_batch(pipeline, ro, rd)
+
+
+class TestSampleAsInNerf:
+    def test_shapes_and_sorted(self):
+        p = tiny_pipeline()
+        params = tiny_params(p)
+        rays = sphere_hitting_rays(p)
+        hier = sample_as_in_nerf(p, params, rays, jax.random.PRNGKey(0))
+        N, S = 12, p.N_samples + p.N_importance
+        assert hier.fine_z_vals.shape == (N, S)
+        assert hier.fine_pts.shape == (N, S, 3)
+        assert hier.fine_raw.shape == (N, S, 4)
+        assert bool(jnp.all(hier.fine_z_vals[:, 1:] >= hier.fine_z_vals[:, :-1]))
+        assert hier.coarse.rgb_map.shape == (N, 3)
+
+    def test_no_importance(self):
+        p = tiny_pipeline(N_importance=0, fine=None)
+        params = tiny_params(p)
+        rays = sphere_hitting_rays(p)
+        hier = sample_as_in_nerf(p, params, rays, jax.random.PRNGKey(0))
+        assert hier.fine_z_vals.shape == (12, p.N_samples)
+
+    def test_fine_z_stop_gradient(self):
+        """PDF-sampled z must not carry gradient to coarse params (ref :572)."""
+        p = tiny_pipeline()
+        params = tiny_params(p)
+        rays = sphere_hitting_rays(p, 4)
+
+        def loss(coarse_params):
+            pr = params._replace(coarse=coarse_params)
+            hier = sample_as_in_nerf(p, pr, rays, jax.random.PRNGKey(0))
+            # depends on coarse params ONLY through the pdf z samples + coarse raw;
+            # isolate the z path by summing fine z values.
+            return jnp.sum(hier.fine_z_vals)
+
+        g = jax.grad(loss)(params.coarse)
+        leaves = jax.tree.leaves(g)
+        assert all(bool(jnp.all(leaf == 0)) for leaf in leaves)
+
+
+class TestRenderRaysTrain:
+    def test_output_contract(self):
+        p = tiny_pipeline()
+        params = tiny_params(p)
+        rays = sphere_hitting_rays(p)
+        out = render_rays_train(p, params, rays, jax.random.PRNGKey(0))
+        assert out["depth_net_rgb_map"].shape == (12, 3)
+        assert out["depth_net_z_vals"].shape == (12, 1)
+        assert out["max_z_vals"].shape == (12, 1)
+        assert out["depth_net_pts"].shape == (12, 1, 3)
+        assert out["raw"].shape == (12, 1, 4)
+        z = out["depth_net_z_vals"]
+        assert bool(jnp.all(z >= p.near)) and bool(jnp.all(z <= p.far))
+        assert bool(jnp.all(out["max_z_vals"] >= p.near))
+        assert np.isfinite(np.asarray(out["depth_net_rgb_map"])).all()
+
+    def test_jittable(self):
+        p = tiny_pipeline()
+        params = tiny_params(p)
+        rays = sphere_hitting_rays(p)
+        f = jax.jit(render_rays_train, static_argnums=0)
+        out = f(p, params, rays, jax.random.PRNGKey(0))
+        assert out["depth_net_rgb_map"].shape == (12, 3)
+
+
+class TestRenderRaysEval:
+    @pytest.mark.parametrize(
+        "mode,s",
+        [
+            (EvalMode.DEPTH_NET, 4),
+            (EvalMode.COMPARE_NERF, 4),
+            (EvalMode.NERF_MAX, 1),
+            (EvalMode.FULL_NERF, 24),
+        ],
+    )
+    def test_modes(self, mode, s):
+        p = tiny_pipeline()
+        params = tiny_params(p)
+        rays = sphere_hitting_rays(p)
+        out = render_rays_eval(p, params, rays, jax.random.PRNGKey(0), mode)
+        assert out["depth_net_rgb_map"].shape == (12, 3)
+        assert out["depth_net_z_vals"].shape == (12, s)
+        assert out["depth_net_pts"].shape == (12, s, 3)
+        if mode in (EvalMode.COMPARE_NERF, EvalMode.NERF_MAX, EvalMode.FULL_NERF):
+            assert out["max_z_vals"].shape == (12, 1)
+            assert out["max_weights"].shape == (12, 1)
+
+    def test_eval_deterministic_full_nerf(self):
+        p = tiny_pipeline()
+        params = tiny_params(p)
+        rays = sphere_hitting_rays(p)
+        a = render_rays_eval(p, params, rays, jax.random.PRNGKey(0), EvalMode.FULL_NERF)
+        b = render_rays_eval(p, params, rays, jax.random.PRNGKey(9), EvalMode.FULL_NERF)
+        # perturb=0 + det pdf + no noise: key must not matter
+        np.testing.assert_allclose(
+            np.asarray(a["depth_net_rgb_map"]), np.asarray(b["depth_net_rgb_map"])
+        )
+
+    def test_depth_only_mode(self):
+        p = tiny_pipeline(sampling_mode="depth_only", n_depth_samples=1)
+        params = tiny_params(p)
+        rays = sphere_hitting_rays(p)
+        out = render_rays_eval(p, params, rays, jax.random.PRNGKey(0))
+        assert out["depth_net_z_vals"].shape == (12, 1)
+
+
+class TestRenderImage:
+    def test_tiling_matches_direct(self):
+        """Chunked render == single-shot render (reference render docstring:
+        'Does not affect final results', nerf_utils.py:108-110)."""
+        p = tiny_pipeline()
+        params = tiny_params(p)
+        H, W, focal = 6, 8, 10.0
+        K = jnp.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]])
+        c2w = jnp.array([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.0]])
+        key = jax.random.PRNGKey(0)
+        full = render_image(
+            p, params, H, W, K, c2w, key, EvalMode.FULL_NERF, chunk=H * W
+        )
+        # chunk=20 does not divide 48 -> exercises padding
+        tiled = render_image(
+            p, params, H, W, K, c2w, key, EvalMode.FULL_NERF, chunk=20
+        )
+        assert full["depth_net_rgb_map"].shape == (H, W, 3)
+        # Tolerance note: different tilings fuse differently in XLA; a 1-ulp
+        # cdf difference can flip a searchsorted bin in sample_pdf, moving a
+        # fine sample by one bin width. Observed max rgb diff ~5e-5.
+        np.testing.assert_allclose(
+            np.asarray(full["depth_net_rgb_map"]),
+            np.asarray(tiled["depth_net_rgb_map"]),
+            atol=5e-4,
+        )
+
+    def test_depth_net_image(self):
+        p = tiny_pipeline()
+        params = tiny_params(p)
+        H, W, focal = 5, 5, 10.0
+        K = jnp.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]])
+        c2w = jnp.array([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.0]])
+        out = render_image(p, params, H, W, K, c2w, jax.random.PRNGKey(0))
+        assert out["depth_net_rgb_map"].shape == (H, W, 3)
+        assert np.isfinite(np.asarray(out["depth_net_rgb_map"])).all()

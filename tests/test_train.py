@@ -1,0 +1,299 @@
+"""Train-layer tests: checkpoints (native + torch interop), steps, sampler,
+convergence smokes, and an end-to-end Trainer run on the example dataset."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nerf_sampling_tpu.data.example import generate_example_dataset, make_example_scene
+from nerf_sampling_tpu.models import (
+    DepthNetConfig,
+    NeRFConfig,
+    depth_net_apply,
+    depth_net_init,
+    nerf_init,
+)
+from nerf_sampling_tpu.render import NeRFParams, Pipeline, make_ray_batch
+from nerf_sampling_tpu.train import (
+    RaySampler,
+    SamplerConfig,
+    Trainer,
+    export_torch_checkpoint,
+    import_torch_checkpoint,
+    load_checkpoint,
+    make_depth_net_train_step,
+    make_depth_optimizer,
+    make_nerf_optimizer,
+    make_nerf_train_step,
+    save_checkpoint,
+)
+from nerf_sampling_tpu.train.state import init_state
+from nerf_sampling_tpu.utils.config import TrainerConfig
+
+
+def trees_equal(a, b):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    return len(la) == len(lb) and all(
+        np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb)
+    )
+
+
+def tiny_pipeline():
+    nerf_cfg = NeRFConfig(
+        D=3, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+        skips=(1,), use_viewdirs=True,
+    )
+    depth_cfg = DepthNetConfig(hidden_sizes=(16, 16), cat_hidden_sizes=(16, 16))
+    return Pipeline(
+        nerf=nerf_cfg, fine=nerf_cfg, depth=depth_cfg, N_samples=8, N_importance=8
+    )
+
+
+def tiny_bundle(p):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    return NeRFParams(
+        coarse=nerf_init(ks[0], p.nerf),
+        fine=nerf_init(ks[1], p.fine),
+        depth=depth_net_init(ks[2], p.depth),
+    )
+
+
+class TestCheckpoints:
+    def test_native_roundtrip(self, tmp_path):
+        """Analog of reference tests.py:29-77: params + optimizer state
+        round-trip exactly."""
+        p = tiny_pipeline()
+        params = tiny_bundle(p)
+        opt = make_depth_optimizer(1e-4)
+        state = init_state(params.depth, opt, 0)
+        tree = {"params": params, "opt_state": state.opt_state}
+        path = str(tmp_path / "ckpt_002000.npz")
+        save_checkpoint(path, tree, 2000)
+        restored, step = load_checkpoint(path, tree)
+        assert step == 2000
+        assert trees_equal(tree, restored)
+
+    def test_torch_tar_roundtrip(self, tmp_path):
+        p = tiny_pipeline()
+        params = tiny_bundle(p)
+        path = str(tmp_path / "002000.tar")
+        export_torch_checkpoint(
+            path, 2000, params.coarse, params.fine, params.depth
+        )
+        data = import_torch_checkpoint(path)
+        assert data["global_step"] == 2000
+        assert trees_equal(params.coarse, data["nerf_coarse"])
+        assert trees_equal(params.fine, data["nerf_fine"])
+        assert trees_equal(params.depth, data["depth"])
+
+    def test_tar_has_reference_keys_and_shapes(self, tmp_path):
+        """The exported .tar must carry the reference key layout
+        (utils.py:79-88) with torch's [out, in] Linear convention."""
+        import torch
+
+        p = tiny_pipeline()
+        params = tiny_bundle(p)
+        path = str(tmp_path / "000100.tar")
+        export_torch_checkpoint(path, 100, params.coarse, params.fine, params.depth)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        for key in (
+            "global_step",
+            "network_fn_state_dict",
+            "network_fine_state_dict",
+            "optimizer_state_dict",
+            "sampling_optimizer_state_dict",
+            "depth_network",
+        ):
+            assert key in ckpt, key
+        sd = ckpt["network_fn_state_dict"]
+        assert sd["pts_linears.0.weight"].shape == (32, 63)  # [out, in]
+        dsd = ckpt["depth_network"]
+        assert "cat_layers.0.weight" in dsd and "cat_layers.2.weight" in dsd
+        assert "cat_layers.1.weight" not in dsd  # LeakyReLU slot
+        assert "to_depth.0.weight" in dsd
+
+
+class TestSampler:
+    def test_per_image_shapes(self):
+        scene = make_example_scene(H=20, W=20, n_train=3, n_val=1, n_test=1)
+        s = RaySampler(scene, SamplerConfig(N_rand=64))
+        ro, rd, t = s.sample(0)
+        assert ro.shape == (64, 3) and rd.shape == (64, 3) and t.shape == (64, 3)
+        assert ro.dtype == np.float32
+
+    def test_precrop(self):
+        scene = make_example_scene(H=20, W=20, n_train=3, n_val=1, n_test=1)
+        s = RaySampler(
+            scene, SamplerConfig(N_rand=16, precrop_iters=5, precrop_frac=0.5)
+        )
+        # During precrop, all rays come from the central half of the image:
+        # their directions are bounded away from the image corners.
+        ro_c, rd_c, _ = s.sample(0)
+        ro_f, rd_f, _ = s.sample(10)
+        assert rd_c.shape == (16, 3) and rd_f.shape == (16, 3)
+
+    def test_single_ray(self):
+        scene = make_example_scene(H=20, W=20, n_train=3, n_val=1, n_test=1)
+        s = RaySampler(scene, SamplerConfig(N_rand=16, single_ray=True))
+        ro, rd, t = s.sample(0)
+        assert ro.shape == (1, 3)
+
+    def test_batching_epoch(self):
+        scene = make_example_scene(H=8, W=8, n_train=2, n_val=1, n_test=1)
+        s = RaySampler(scene, SamplerConfig(N_rand=32, use_batching=True))
+        total = 2 * 8 * 8
+        seen = 0
+        for i in range(2 * total // 32 + 1):  # cross an epoch boundary
+            ro, rd, t = s.sample(i)
+            assert ro.shape == (32, 3)
+            seen += 32
+
+
+class TestSteps:
+    def test_depth_step_updates_depth_only(self):
+        p = tiny_pipeline()
+        params = tiny_bundle(p)
+        opt = make_depth_optimizer(1e-3)
+        state = init_state(params.depth, opt)
+        step = make_depth_net_train_step(p, opt)
+        ro = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), (16, 1))
+        rd = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-0.2, maxval=0.2)
+        rd = rd.at[:, 2].set(-1.0)
+        rays = make_ray_batch(p, ro, rd)
+        target = jnp.ones((16, 3)) * 0.5
+        # snapshot: the step donates its input state's buffers
+        before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+        new_state, metrics = step(params, state, rays, target, jax.random.PRNGKey(0))
+        assert int(new_state.step) == 1
+        assert not trees_equal(before, new_state.params)
+        for k in ("loss", "depth_net_loss", "psnr"):
+            assert np.isfinite(float(metrics[k])), k
+
+    def test_nerf_step_decreases_loss(self):
+        p = tiny_pipeline()
+        params = tiny_bundle(p)._replace(depth=None)
+        opt = make_nerf_optimizer(5e-3, 250)
+        state = init_state(params, opt)
+        step = make_nerf_train_step(p, opt)
+        ro = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), (32, 1))
+        rd = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-0.3, maxval=0.3)
+        rd = rd.at[:, 2].set(-1.0)
+        rays = make_ray_batch(p, ro, rd)
+        target = jnp.zeros((32, 3))  # black target against white bkgd
+        losses = []
+        for i in range(30):
+            state, metrics = step(state, rays, target, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+class TestDepthNetConvergence:
+    def test_overfits_fixed_depths(self):
+        """Reference tests/depth_network_test_mse.py: DepthNet overfits a few
+        target depths in ~100 Adam steps."""
+        cfg = DepthNetConfig(hidden_sizes=(32, 32), cat_hidden_sizes=(32, 32))
+        params = depth_net_init(jax.random.PRNGKey(0), cfg)
+        ro = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), (5, 1))
+        rd = jnp.array(
+            [[0.05, 0.0, -1.0], [0.0, 0.05, -1.0], [-0.05, 0.0, -1.0],
+             [0.0, -0.05, -1.0], [0.0, 0.0, -1.0]]
+        )
+        targets = jnp.array([[2.5], [3.0], [4.2], [5.0], [5.5]])
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(prm):
+                z = depth_net_apply(prm, cfg, ro, rd)
+                return jnp.mean((z - targets) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        first = None
+        for i in range(150):
+            params, opt_state, loss = step(params, opt_state)
+            if first is None:
+                first = float(loss)
+        assert float(loss) < 0.05, (first, float(loss))
+
+
+@pytest.mark.slow
+class TestTrainerE2E:
+    def test_nerf_then_depth_net(self, tmp_path):
+        """End-to-end slice (SURVEY.md §7): pretrain a tiny NeRF on the
+        example scene, checkpoint it, then train DepthNet against it frozen."""
+        datadir = generate_example_dataset(
+            str(tmp_path / "data"), H=24, W=24, n_train=4, n_val=1, n_test=2
+        )
+        common = dict(
+            dataset_type="blender",
+            datadir=datadir,
+            basedir=str(tmp_path / "logs"),
+            half_res=False,
+            testskip=1,
+            N_rand=64,
+            N_samples=8,
+            N_importance=8,
+            netdepth=3,
+            netwidth=32,
+            netdepth_fine=3,
+            netwidth_fine=32,
+            n_layers=2,
+            layer_width=16,
+            i_print=20,
+            i_weights=20,
+            i_testset=10_000,
+            i_video=10_000_000,
+            lrate=5e-3,
+        )
+        # NeRFConfig skips=(4,) assumes D>4; tiny D=3 needs skips inside range.
+        # Use netdepth=8? too slow; instead rely on default skip logic being
+        # valid for D=3: skip index 4 is out of range -> never triggers, and
+        # layer dims stay [W -> W]; that's a valid (skipless) MLP.
+        nerf_cfg = TrainerConfig(
+            expname="nerf_pre", train_mode="nerf", train_depth_net_only=False, **common
+        )
+        t1 = Trainer(nerf_cfg)
+        psnr = t1.train(N_iters=41)
+        assert np.isfinite(psnr)
+        ckpt = os.path.join(t1.expdir, "000040.npz")
+        assert os.path.exists(ckpt)
+        assert os.path.exists(os.path.join(t1.expdir, "000040.tar"))
+        assert os.path.exists(os.path.join(t1.expdir, "psnr.txt"))
+
+        depth_cfg = TrainerConfig(
+            expname="depth_net",
+            train_mode="depth_net",
+            ft_path=os.path.join(t1.expdir, "000040.tar"),
+            **common,
+        )
+        t2 = Trainer(depth_cfg)
+        psnr2 = t2.train(N_iters=21)
+        assert np.isfinite(psnr2)
+
+        # render-only path over the test split using the trained ckpt
+        render_cfg = TrainerConfig(
+            expname="depth_net",
+            train_mode="depth_net",
+            ft_path=os.path.join(t1.expdir, "000040.tar"),
+            depth_net_path=os.path.join(t2.expdir, "depth_000020.npz"),
+            render_only=True,
+            render_test=True,
+            n_depth_samples=2,
+            sampling_mode="uniform",
+            distance=0.01,
+            **common,
+        )
+        t3 = Trainer(render_cfg)
+        avg_psnr = t3.train(N_iters=1)
+        assert np.isfinite(avg_psnr)
+        out_dir = os.path.join(t3.expdir, "renderonly_test_000020")
+        assert os.path.exists(os.path.join(out_dir, "000.png"))
+        assert os.path.exists(os.path.join(out_dir, "psnr.txt"))
