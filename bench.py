@@ -1,0 +1,193 @@
+"""Headline benchmark: rays/sec at 800x800 Blender render, 64-sample budget.
+
+Metric definition (BASELINE.json): render an 800^2 image where every ray is
+shaded with 64 NeRF MLP queries (the vanilla coarse budget the reference's
+DepthNet claims to replace), full-size 8x256 viewdirs NeRF, float32.
+
+``vs_baseline`` compares against a reference-equivalent PyTorch renderer
+(same math: 63/27-dim positional encoding -> 8x256 skip MLP -> alpha
+compositing, chunked eager execution as in reference nerf_utils.py:45-85 /
+Trainer.py:789-806) measured on this machine's CPU — the reference publishes
+no numbers and this box has no CUDA (BASELINE.md). The torch measurement is
+cached in BASELINE_MEASURED.json after the first run.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+H = W = 800
+N_SAMPLES = 64
+CHUNK = 1 << 15
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+
+
+def _measure_torch_baseline() -> float:
+    """Reference-equivalent torch renderer, rays/sec on CPU (cached)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_rays_per_sec"]
+
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+
+    class TorchNeRF(torch.nn.Module):
+        def __init__(self, D=8, Wd=256, input_ch=63, input_ch_views=27):
+            super().__init__()
+            self.input_ch, self.input_ch_views = input_ch, input_ch_views
+            self.skips = [4]
+            layers = [torch.nn.Linear(input_ch, Wd)]
+            for i in range(D - 1):
+                ic = Wd + input_ch if i in self.skips else Wd
+                layers.append(torch.nn.Linear(ic, Wd))
+            self.pts_linears = torch.nn.ModuleList(layers)
+            self.views_linears = torch.nn.ModuleList(
+                [torch.nn.Linear(input_ch_views + Wd, Wd // 2)]
+            )
+            self.feature_linear = torch.nn.Linear(Wd, Wd)
+            self.alpha_linear = torch.nn.Linear(Wd, 1)
+            self.rgb_linear = torch.nn.Linear(Wd // 2, 3)
+
+        def forward(self, x):
+            pts, views = torch.split(x, [self.input_ch, self.input_ch_views], -1)
+            h = pts
+            for i, l in enumerate(self.pts_linears):
+                h = F.relu(l(h))
+                if i in self.skips:
+                    h = torch.cat([pts, h], -1)
+            alpha = self.alpha_linear(h)
+            feat = self.feature_linear(h)
+            h = F.relu(self.views_linears[0](torch.cat([feat, views], -1)))
+            return torch.cat([self.rgb_linear(h), alpha], -1)
+
+    def embed(x, multires):
+        out = [x]
+        for f in 2.0 ** torch.arange(multires):
+            out += [torch.sin(x * f), torch.cos(x * f)]
+        return torch.cat(out, -1)
+
+    model = TorchNeRF().eval()
+    n_rays = 4096  # subsample; extrapolate rays/sec (CPU torch is slow)
+    netchunk = 1024 * 64
+    ro = torch.zeros(n_rays, 3)
+    ro[:, 2] = 4.0
+    rd = torch.randn(n_rays, 3) * 0.1
+    rd[:, 2] = -1.0
+    viewdirs = rd / rd.norm(dim=-1, keepdim=True)
+    t_vals = torch.linspace(0.0, 1.0, N_SAMPLES)
+    z_vals = (2.0 * (1 - t_vals) + 6.0 * t_vals).expand(n_rays, N_SAMPLES)
+
+    def render_once():
+        with torch.no_grad():
+            pts = ro[:, None] + rd[:, None] * z_vals[..., None]
+            flat = pts.reshape(-1, 3)
+            emb = torch.cat(
+                [
+                    embed(flat, 10),
+                    embed(
+                        viewdirs[:, None].expand(-1, N_SAMPLES, 3).reshape(-1, 3), 4
+                    ),
+                ],
+                -1,
+            )
+            raws = torch.cat(
+                [model(emb[i : i + netchunk]) for i in range(0, emb.shape[0], netchunk)]
+            ).reshape(n_rays, N_SAMPLES, 4)
+            dists = z_vals[..., 1:] - z_vals[..., :-1]
+            dists = torch.cat([dists, torch.full_like(dists[..., :1], 1e10)], -1)
+            dists = dists * rd.norm(dim=-1, keepdim=True)
+            rgb = torch.sigmoid(raws[..., :3])
+            alpha = 1.0 - torch.exp(-F.relu(raws[..., 3]) * dists)
+            weights = alpha * torch.cumprod(
+                torch.cat([torch.ones_like(alpha[..., :1]), 1 - alpha + 1e-10], -1),
+                -1,
+            )[..., :-1]
+            return torch.sum(weights[..., None] * rgb, -2)
+
+    render_once()  # warm up
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        render_once()
+    dt = (time.perf_counter() - t0) / reps
+    rays_per_sec = n_rays / dt
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(
+            {
+                "torch_cpu_rays_per_sec": rays_per_sec,
+                "note": (
+                    "reference-equivalent PyTorch eager renderer, 64 samples/ray, "
+                    "8x256 viewdirs NeRF, fp32, measured on this machine's CPU "
+                    f"({os.cpu_count()} cores); reference publishes no numbers "
+                    "and no CUDA device exists here"
+                ),
+            },
+            f,
+            indent=2,
+        )
+    return rays_per_sec
+
+
+def _measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_sampling_tpu.models import nerf_init
+    from nerf_sampling_tpu.render import (
+        EvalMode,
+        NeRFParams,
+        Pipeline,
+        render_image,
+    )
+    from nerf_sampling_tpu.utils.config import TrainerConfig
+
+    cfg = TrainerConfig(N_samples=N_SAMPLES, N_importance=0)
+    pipeline = cfg.pipeline(with_depth=False)
+    params = NeRFParams(coarse=nerf_init(jax.random.PRNGKey(0), pipeline.nerf))
+
+    focal = 0.5 * W / 0.3566  # tan(0.5 * camera_angle_x)
+    K = jnp.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]])
+    c2w = jnp.array([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.0]])
+
+    render = jax.jit(
+        lambda prm, key: render_image(
+            pipeline, prm, H, W, K, c2w, key, EvalMode.FULL_NERF, chunk=CHUNK
+        )
+    )
+    key = jax.random.PRNGKey(0)
+    out = jax.block_until_ready(render(params, key))  # compile + warm up
+    assert bool(jnp.isfinite(out["depth_net_rgb_map"]).all())
+
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = render(params, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return H * W / dt
+
+
+def main() -> None:
+    tpu_rays = _measure_tpu()
+    torch_rays = _measure_torch_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "rays/sec, 800x800 render @ 64 NeRF queries/ray (fp32)",
+                "value": round(tpu_rays, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(tpu_rays / torch_rays, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
