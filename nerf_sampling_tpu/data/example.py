@@ -39,7 +39,7 @@ def _render_analytic(H: int, W: int, focal: float, c2w: np.ndarray) -> np.ndarra
     c = np.sum(ro * ro, -1) - _SPHERE_R**2
     disc = b * b - 4 * c
     hit = disc > 0
-    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2.0, np.inf)
+    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2.0, 0.0)
     p = ro + t[:, None] * d
     n = p / _SPHERE_R
     albedo = 0.5 + 0.5 * n  # normal-keyed color

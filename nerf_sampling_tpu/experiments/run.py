@@ -1,0 +1,124 @@
+"""Train the depth net (or pretrain a NeRF) from the command line.
+
+CLI parity target: reference experiments/run.py — same flag surface
+(-c/-dp/-d/-m/-w/-si/-sr/-ip), same hard overrides (run.py:101-107:
+depth_net_lr=1e-4, n_layers=10, layer_width=256, train_depth_net_only,
+sphere_radius=2), same pretrained-NeRF convention
+``pretrained/nerf/<dataset>/200000.tar``.
+
+Extensions over the reference:
+- ``-d example`` synthesizes the procedural example dataset (zero-egress).
+- ``--n_iters`` caps iterations (reference hardcodes EPOCHS=100_000).
+- ``--mode nerf`` runs vanilla NeRF pretraining (the reference's intended
+  but broken path, SURVEY.md §2 defect #4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import click
+
+from nerf_sampling_tpu.definitions import ROOT_DIR
+from nerf_sampling_tpu.train.trainer import Trainer
+from nerf_sampling_tpu.utils.config import (
+    load_trainer_config,
+    override_config,
+)
+
+
+@click.command()
+@click.option(
+    "-c",
+    "--config",
+    type=str,
+    default=f"{ROOT_DIR}/experiments/configs/lego.yaml",
+    show_default=True,
+    help="Path to configuration file.",
+)
+@click.option("-dp", "--dataset_path", type=str, help="Path to dataset folder.")
+@click.option("-d", "--dataset", type=str, help="Name of the dataset to train on.")
+@click.option(
+    "-m",
+    "--model",
+    type=str,
+    default="lego_depth_net_module",
+    show_default=True,
+    help="Model key in the YAML config.",
+)
+@click.option(
+    "-w",
+    "--wandb",
+    "wandb_mode",
+    type=click.Choice(["online", "offline", "disabled"], case_sensitive=False),
+    default="disabled",
+    show_default=True,
+    help="wandb logging mode.",
+)
+@click.option("-si", "--single_image", is_flag=True, default=False, show_default=True,
+              help="Train sampling network on single image.")
+@click.option("-sr", "--single_ray", is_flag=True, default=False, show_default=True,
+              help="Train sampling network on single ray.")
+@click.option("-ip", "--i_print", default=1000, show_default=True,
+              help="Frequency of log printing.")
+@click.option("--n_iters", default=100_000, show_default=True,
+              help="Training iterations.")
+@click.option("--mode", "train_mode", type=click.Choice(["depth_net", "nerf"]),
+              default="depth_net", show_default=True,
+              help="depth_net: train DepthNet vs frozen NeRF; nerf: pretrain NeRF.")
+@click.option("--basedir", default="./logs", show_default=True)
+def main(**kw):
+    """Run NeRF / sampling-network training with the provided configuration."""
+    cfg = load_trainer_config(kw["config"], kw["model"])
+    cfg.single_image = kw["single_image"]
+    cfg.single_ray = kw["single_ray"]
+    cfg.i_print = kw["i_print"]
+    cfg.wandb_mode = kw["wandb_mode"]
+    cfg.train_mode = kw["train_mode"]
+    cfg.basedir = kw["basedir"]
+
+    datadir = kw["dataset_path"]
+    ft_path = None
+    dataset_name = kw["dataset"]
+    if dataset_name is not None:
+        datadir = f"{ROOT_DIR}/dataset/{dataset_name}"
+        if dataset_name == "example" and not os.path.exists(datadir):
+            from nerf_sampling_tpu.data.example import generate_example_dataset
+
+            print(f"Generating example dataset at {datadir}")
+            generate_example_dataset(datadir, H=800, W=800)
+        candidate = f"{ROOT_DIR}/pretrained/nerf/{dataset_name}/200000.tar"
+        if kw["train_mode"] == "depth_net":
+            ft_path = candidate
+        print(f"{dataset_name=}")
+    if datadir is None:
+        print("Please specify the name of the dataset or provide the path to the folder")
+        return
+
+    # Hard overrides (reference run.py:101-109)
+    override = {
+        "depth_net_lr": 1e-4,
+        "n_layers": 10,
+        "layer_width": 256,
+        "train_depth_net_only": True,
+        "sphere_radius": 2,
+    }
+    cfg_dict = cfg.__dict__
+    override_config(config=cfg_dict, update=override)
+
+    cfg.ft_path = ft_path
+    cfg.datadir = datadir
+    cfg.expname = (
+        f"{dataset_name or 'custom'}_depth_net"
+        if kw["train_mode"] == "depth_net"
+        else f"{dataset_name or 'custom'}_nerf"
+    )
+    cfg.sampling_mode = "depth_only"
+
+    trainer = Trainer(cfg)
+    psnr = trainer.train(N_iters=kw["n_iters"] + 1)
+    print(f"Final psnr: {psnr}")
+
+
+if __name__ == "__main__":
+    main()

@@ -372,19 +372,13 @@ class Trainer:
             verbose=False,
         )
         moviebase = os.path.join(self.expdir, f"{cfg.expname}_spiral_{i:06d}_")
-        try:
-            import imageio.v2 as imageio
+        from nerf_sampling_tpu.utils.video import write_video
 
-            imageio.mimwrite(moviebase + "rgb.mp4", to8b(rgbs), fps=30, quality=8)
-            imageio.mimwrite(
-                moviebase + "disp.mp4",
-                to8b(disps / np.max(disps)),
-                fps=30,
-                quality=8,
-            )
-        except Exception as e:  # missing ffmpeg backend: save frames instead
-            print(f"[video] mp4 write failed ({e}); saving npz frames")
-            np.savez(moviebase + "frames.npz", rgbs=rgbs, disps=disps)
+        print("video:", write_video(moviebase + "rgb", to8b(rgbs)))
+        disp_frames = to8b(
+            np.repeat(disps[..., None], 3, -1) / max(np.max(disps), 1e-8)
+        )
+        print("video:", write_video(moviebase + "disp", disp_frames))
 
     # ------------------------------------------------------------------
     # render-only (reference Trainer.render, :181-230)
@@ -422,12 +416,7 @@ class Trainer:
             logger=self.logger,
         )
         print("Done rendering", testsavedir)
-        try:
-            import imageio.v2 as imageio
+        from nerf_sampling_tpu.utils.video import write_video
 
-            imageio.mimwrite(
-                os.path.join(testsavedir, "video.mp4"), to8b(rgbs), fps=30, quality=8
-            )
-        except Exception as e:
-            print(f"[video] mp4 write failed ({e})")
+        print("video:", write_video(os.path.join(testsavedir, "video"), to8b(rgbs)))
         return avg_psnr

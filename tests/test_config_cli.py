@@ -1,0 +1,113 @@
+"""Config system + CLI surface tests."""
+
+import os
+
+import pytest
+
+from nerf_sampling_tpu.definitions import ROOT_DIR
+from nerf_sampling_tpu.utils.config import (
+    TrainerConfig,
+    load_legacy_txt_config,
+    load_obj_from_config,
+    load_trainer_config,
+    override_config,
+)
+
+
+class TestOverrideConfig:
+    """Reference tests.py:89-111 semantics."""
+
+    def test_good(self):
+        cfg = {"N_samples": 64, "density_in_loss": True, "train_freq": 10}
+        override_config(cfg, {"N_samples": 32, "train_freq": 100})
+        assert cfg["N_samples"] == 32 and cfg["train_freq"] == 100
+
+    def test_bad_key(self):
+        cfg = {"N_samples": 64}
+        with pytest.raises(KeyError) as exc_info:
+            override_config(cfg, {"N_sampels": 32})
+        assert "Key N_sampels does not exist in config" in str(exc_info.value)
+
+
+class TestYamlConfig:
+    def test_shipped_lego_yaml(self):
+        path = os.path.join(ROOT_DIR, "experiments/configs/lego.yaml")
+        cfg = load_trainer_config(path, "lego_depth_net_module")
+        # anchors merged (reference lego.yaml:1-34 values)
+        assert cfg.N_rand == 1024
+        assert cfg.white_bkgd is True
+        assert cfg.N_importance == 128
+        assert cfg.N_samples == 64
+        assert cfg.no_batching is True
+        assert cfg.half_res is True
+        assert cfg.lrate_decay == 500
+        assert cfg.expname == "sampler_experiment"
+        assert cfg.dataset_type == "blender"
+        # 'None' placeholders stay None-able (set later by scripts)
+        assert cfg.depth_net_lr is None
+
+    def test_load_obj_from_config(self):
+        cfg = load_obj_from_config(
+            {
+                "module": "nerf_sampling_tpu.utils.config.TrainerConfig",
+                "kwargs": {"N_rand": 7},
+            }
+        )
+        assert isinstance(cfg, TrainerConfig) and cfg.N_rand == 7
+
+
+class TestLegacyTxtConfig:
+    def test_lego_txt_semantics(self, tmp_path):
+        """Values mirror reference nerf_pytorch/configs/lego.txt:1-19."""
+        txt = tmp_path / "lego.txt"
+        txt.write_text(
+            "expname = blender_paper_lego\n"
+            "basedir = ./logs\n"
+            "datadir = ./data/nerf_synthetic/lego\n"
+            "dataset_type = blender\n"
+            "no_batching = True\n"
+            "use_viewdirs = True\n"
+            "white_bkgd = True\n"
+            "lrate_decay = 500\n"
+            "N_samples = 64\n"
+            "N_importance = 128\n"
+            "N_rand = 1024\n"
+            "precrop_iters = 500\n"
+            "precrop_frac = 0.5\n"
+            "half_res = True\n"
+        )
+        cfg = load_legacy_txt_config(str(txt))
+        assert cfg.expname == "blender_paper_lego"
+        assert cfg.no_batching is True
+        assert cfg.N_importance == 128
+        assert cfg.precrop_iters == 500
+        assert cfg.precrop_frac == 0.5
+        assert cfg.half_res is True
+
+
+class TestPipelineFromConfig:
+    def test_dims(self):
+        cfg = TrainerConfig()
+        p = cfg.pipeline()
+        assert p.nerf.input_ch == 63 and p.nerf.input_ch_views == 27
+        assert p.nerf.output_ch == 5  # N_importance > 0 (nerf_utils.py:406)
+        assert p.fine is not None and p.depth is not None
+        assert p.depth.hidden_sizes == tuple([256] * 6)
+
+    def test_ndc_only_for_llff(self):
+        assert TrainerConfig(dataset_type="blender").pipeline().ndc is False
+        assert TrainerConfig(dataset_type="llff").pipeline().ndc is True
+        assert TrainerConfig(dataset_type="llff", no_ndc=True).pipeline().ndc is False
+
+
+class TestCliHelp:
+    @pytest.mark.parametrize(
+        "mod", ["run", "render", "study", "plot"]
+    )
+    def test_help(self, mod):
+        from click.testing import CliRunner
+        import importlib
+
+        m = importlib.import_module(f"nerf_sampling_tpu.experiments.{mod}")
+        result = CliRunner().invoke(m.main, ["--help"])
+        assert result.exit_code == 0, result.output
