@@ -107,6 +107,27 @@ def sample_pdf(
     return bins_below + t * (bins_above - bins_below)
 
 
+def scale_points_with_weights(
+    z_vals: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray
+) -> jnp.ndarray:
+    """Rays-from-origin scaling (reference depth_nets/utils.py:5-11)."""
+    return z_to_points(rays_o, rays_d, z_vals)
+
+
+def scale_to_near_far(
+    outputs: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    far: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scale [0, 1] outputs to sorted z in [near, far] + points
+    (reference depth_nets/utils.py:14-19)."""
+    z_vals = near * (1 - outputs) + far * outputs
+    z_vals = jnp.sort(z_vals, axis=-1)
+    return scale_points_with_weights(z_vals, rays_o, rays_d), z_vals
+
+
 def sample_points_around_mean(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,

@@ -163,6 +163,28 @@ def import_torch_checkpoint(path: str) -> dict:
     return out
 
 
+def nerf_params_from_keras(weights: list, D: int = 8) -> dict:
+    """Import original-TF-NeRF Keras weight lists
+    (reference NeRF.load_weights_from_keras, run_nerf_helpers.py:136-183).
+
+    Keras stores Dense kernels as [in, out] — our native layout, so no
+    transpose. Layout: [W0, b0, W1, b1, ...] for pts_linears, then
+    feature_linear, views_linears[0], rgb_linear, alpha_linear.
+    """
+    def lin(i):
+        return {
+            "weight": np.asarray(weights[i], np.float32),
+            "bias": np.asarray(weights[i + 1], np.float32).reshape(-1),
+        }
+
+    params = {"pts_linears": [lin(2 * i) for i in range(D)]}
+    params["feature_linear"] = lin(2 * D)
+    params["views_linears"] = [lin(2 * D + 2)]
+    params["rgb_linear"] = lin(2 * D + 4)
+    params["alpha_linear"] = lin(2 * D + 6)
+    return params
+
+
 def _linear_to_torch(p: dict, prefix: str, sd: dict) -> None:
     import torch
 

@@ -358,6 +358,24 @@ class Trainer:
             )
         print("Saved checkpoints at", path)
 
+    def save_rays_data(self, rays_o, pts, alpha) -> str:
+        """Dump ray data for later visualization as safetensors
+        (reference sampling_trainer.py:124-138)."""
+        from safetensors.numpy import save_file
+
+        filename = os.path.join(
+            self.expdir, f"{self.cfg.expname}_{self.global_step}.safetensors"
+        )
+        save_file(
+            {
+                "origins": np.ascontiguousarray(rays_o, dtype=np.float32),
+                "pts": np.ascontiguousarray(pts, dtype=np.float32),
+                "alpha": np.ascontiguousarray(alpha, dtype=np.float32),
+            },
+            filename,
+        )
+        return filename
+
     def save_spiral_video(self, i: int) -> None:
         cfg, scene = self.cfg, self.scene
         rgbs, disps, _ = render_path(

@@ -112,6 +112,9 @@ class TrainerConfig:
     use_nerf_max_pts: bool = False
     use_full_nerf: bool = False
 
+    # execution backend for the NeRF MLP ("xla" | "pallas"; see Pipeline)
+    mlp_impl: str = "xla"
+
     # misc
     seed: int = 42
 
@@ -174,6 +177,7 @@ class TrainerConfig:
             n_depth_samples=self.n_depth_samples,
             sampling_mode=self.sampling_mode,
             distance=self.distance,
+            mlp_impl=self.mlp_impl,
         )
 
 

@@ -1,0 +1,71 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_sampling_tpu.core.encoding import positional_encoding
+from nerf_sampling_tpu.kernels import fused_nerf_apply
+from nerf_sampling_tpu.models import NeRFConfig, nerf_apply, nerf_init
+
+
+def full_cfg():
+    return NeRFConfig(
+        D=8, W=256, input_ch=63, input_ch_views=27, output_ch=5,
+        skips=(4,), use_viewdirs=True,
+    )
+
+
+class TestFusedNeRF:
+    @pytest.mark.parametrize("n", [512, 700])  # exact tile + ragged pad
+    def test_matches_reference_f32(self, rng, n):
+        cfg = full_cfg()
+        params = nerf_init(jax.random.PRNGKey(0), cfg)
+        pts = rng.standard_normal((n, 3)).astype(np.float32)
+        dirs = rng.standard_normal((n, 3)).astype(np.float32)
+        pe = positional_encoding(jnp.asarray(pts), 10)
+        de = positional_encoding(jnp.asarray(dirs), 4)
+        want = nerf_apply(params, cfg, jnp.concatenate([pe, de], -1))
+        got = fused_nerf_apply(
+            params, cfg, pe, de, dtype=jnp.float32, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+    def test_matches_reference_bf16_loose(self, rng):
+        cfg = full_cfg()
+        params = nerf_init(jax.random.PRNGKey(0), cfg)
+        pts = rng.standard_normal((256, 3)).astype(np.float32)
+        dirs = rng.standard_normal((256, 3)).astype(np.float32)
+        pe = positional_encoding(jnp.asarray(pts), 10)
+        de = positional_encoding(jnp.asarray(dirs), 4)
+        want = np.asarray(nerf_apply(params, cfg, jnp.concatenate([pe, de], -1)))
+        got = np.asarray(
+            fused_nerf_apply(params, cfg, pe, de, dtype=jnp.bfloat16,
+                             interpret=True)
+        )
+        # bf16 matmuls with f32 accumulation: ~1% relative error budget
+        err = np.abs(got - want) / (np.abs(want) + 1e-2)
+        assert float(err.mean()) < 0.01, float(err.mean())
+
+    def test_batched_shape_and_broadcast_dirs(self, rng):
+        """Per-ray dirs broadcast over the sample axis like run_network
+        (Trainer.py:795-799)."""
+        cfg = full_cfg()
+        params = nerf_init(jax.random.PRNGKey(1), cfg)
+        R, S = 6, 10
+        pts = rng.standard_normal((R, S, 3)).astype(np.float32)
+        dirs = rng.standard_normal((R, 1, 3)).astype(np.float32)
+        pe = positional_encoding(jnp.asarray(pts), 10)
+        de = positional_encoding(jnp.asarray(dirs), 4)
+        got = fused_nerf_apply(
+            params, cfg, pe, de, dtype=jnp.float32, interpret=True
+        )
+        assert got.shape == (R, S, 4)
+        full_de = jnp.broadcast_to(de, (R, S, 27))
+        want = nerf_apply(params, cfg, jnp.concatenate([pe, full_de], -1))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
