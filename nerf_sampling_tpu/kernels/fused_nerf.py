@@ -1,86 +1,141 @@
-"""Fused NeRF-MLP Pallas kernel: embedded points -> raw (rgb, sigma).
+"""Fused PE + NeRF-MLP Pallas kernel: raw points/dirs -> raw (rgb, sigma).
 
 Replaces the reference's run_network + NeRF.forward hot path
-(Trainer.py:789-806, run_nerf_helpers.py:109-134) for use_viewdirs models.
+(Trainer.py:789-806, run_nerf_helpers.py:109-134) for use_viewdirs models,
+including the positional encoding (run_nerf_helpers.py:15-63).
 
-Layout strategy (measured on TPU v5e; see kernels/__init__.py):
-- The caller provides positional encodings; the wrapper packs them into one
-  lane-aligned [N, PAD=128] buffer in the kernel compute dtype (pts cols
-  [0, Cp), views cols [Cp, Cp+Cv), zero pad). PE itself is cheap elementwise
-  work XLA fuses on its own; the kernel's job is the matmul chain.
-- Weights are repacked host-side (pack_nerf_params) so every concat in the
-  reference architecture becomes a sum of two matmuls:
-    skip layer:  cat([pts_emb, h]) @ W  ==  emb_pad @ We_pad + h @ Wh
-    views head:  cat([feature, views]) @ W == feature @ Wf + emb_pad @ Wv_pad
-  and the two output heads collapse into one 4-column dot-sum:
-    out = hv @ Wrgb4 + h @ Walpha4 + bias4
-  (a trailing jnp.concatenate([rgb, alpha]) costs a lane relayout that
-  halved throughput in practice — hence the packed head).
-- Grid over row tiles of N; all weights stay in VMEM across programs
-  (constant index_map, ~1.2 MB bf16); inter-layer activations never touch
-  HBM. bf16 MXU math with fp32 accumulation (the MXU requires 32-bit acc).
+Why PE lives in the kernel: at 41M points per 800^2/64-sample image, the
+XLA-materialized [N, 63] embedding costs ~10 GB of HBM traffic per
+intermediate and dominated the render once the MLP went bf16. In-kernel the
+encoding is one tiny fp32 matmul + sin:
 
-Measured: 95 Mpts/s on v5e (8x256 viewdirs NeRF) vs 22 Mpts/s for the fp32
-HIGHEST XLA path and 71 Mpts/s for unfused bf16 XLA.
+    S = sin(X @ F + P)          X: [T, 8] raw (px py pz dx dy dz 0 0)
+                                F: [8, 128] frequency selector
+                                P: phase (0 = sin, pi/2 = cos  — cos(z) =
+                                   sin(z + pi/2)), zero rows for pad cols
+    emb-consuming layers:  cat-weights split into  X @ Wx  +  S @ Ws
+    (Wx carries the reference's identity-passthrough rows, Ws the sin/cos
+    rows, both row-permuted to the kernel's S layout at pack time).
 
-Autodiff: the kernel defines no VJP — use it for rendering/eval; training
-steps keep the XLA path (gradients flow through NeRF inputs even when only
-DepthNet trains).
+The PE matmul and sin run in fp32 (bf16 would destroy high-frequency phase:
+sin(512 * x) needs more than 8 mantissa bits); activations and trunk matmuls
+are bf16 with fp32 accumulation (MXU requirement). Concats are rewritten as
+matmul sums; the two output heads collapse into one 4-column dot-sum (a
+trailing lane concat halved throughput). Weights stay VMEM-resident across
+grid programs; activations never touch HBM.
+
+No VJP — rendering/eval only; training uses the differentiable XLA path.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any
+import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nerf_sampling_tpu.models.nerf import NeRFConfig
 
-PAD = 128  # lane-aligned width of the combined embedding buffer
-_TILE = 2048  # rows per grid program (sweet spot in the tile sweep)
+PAD = 128  # lane width of the sin-feature buffer
+XDIM = 8  # raw-input buffer width (3 pts + 3 dirs + 2 pad)
+_TILE = 2048
 
 
-def pack_nerf_params(params: dict, cfg: NeRFConfig, dtype=jnp.bfloat16) -> dict:
-    """Repack a NeRF param pytree for the fused kernel (see module doc).
+def _pe_matrices(multires: int, multires_views: int):
+    """(F [XDIM, PAD], P [PAD]) building S = sin(X @ F + P).
 
-    Pure jnp — jit-compatible; under jit XLA hoists it out of the render
-    loop as long as params are invariant.
+    S column layout (matches the reference's per-frequency sin/cos blocks,
+    run_nerf_helpers.py:36-39, minus the raw-input passthrough):
+      cols [0, 6*M):            pts  freq f: sin(x*2^f) dims 0..2, then cos
+      cols [6*M, 6*M + 6*Mv):   dirs likewise
+      remaining cols:           zero (F=0, P=0 -> sin(0)=0)
     """
+    F = np.zeros((XDIM, PAD), np.float32)
+    P = np.zeros((PAD,), np.float32)
+    col = 0
+    for base, m in ((0, multires), (3, multires_views)):
+        for f in range(m):
+            for s, phase in ((0, 0.0), (1, math.pi / 2)):
+                for dim in range(3):
+                    F[base + dim, col] = 2.0**f
+                    P[col] = phase
+                    col += 1
+    return jnp.asarray(F), jnp.asarray(P)
+
+
+def _split_emb_rows(w_emb, multires, multires_views, dtype):
+    """[Cp+Cv, out] emb-consuming weight -> (Wx [XDIM, out], Ws [PAD, out]).
+
+    Row permutation: reference emb rows are [pts raw(3), pts sin/cos(6M),
+    dirs raw(3), dirs sin/cos(6Mv)]; the kernel's X carries the raw rows and
+    S the sin/cos rows in the same inner order.
+    """
+    out = w_emb.shape[1]
+    sp, sv = 6 * multires, 6 * multires_views
+    wx = jnp.zeros((XDIM, out), dtype)
+    wx = wx.at[0:3].set(w_emb[0:3].astype(dtype))
+    ws = jnp.zeros((PAD, out), dtype)
+    ws = ws.at[0:sp].set(w_emb[3 : 3 + sp].astype(dtype))
+    if w_emb.shape[0] > 3 + sp:  # has dirs rows
+        wx = wx.at[3:6].set(w_emb[3 + sp : 6 + sp].astype(dtype))
+        ws = ws.at[sp : sp + sv].set(w_emb[6 + sp :].astype(dtype))
+    return wx, ws
+
+
+def pack_nerf_params(
+    params: dict,
+    cfg: NeRFConfig,
+    multires: int = 10,
+    multires_views: int = 4,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Repack a NeRF param pytree for the fused kernel (see module doc)."""
     if not cfg.use_viewdirs:
         raise ValueError("fused kernel requires use_viewdirs=True")
     Cp, Cv, W = cfg.input_ch, cfg.input_ch_views, cfg.W
-    if Cp + Cv > PAD:
-        raise ValueError(f"embedding width {Cp + Cv} exceeds PAD={PAD}")
+    if Cp != 3 + 6 * multires or Cv != 3 + 6 * multires_views:
+        raise ValueError("input_ch inconsistent with multires settings")
+    if 6 * multires + 6 * multires_views > PAD:
+        raise ValueError("sin-feature width exceeds PAD")
 
     def cast(x):
         return x.astype(dtype)
 
-    def pad_rows(w, row_offset):
-        out = jnp.zeros((PAD, w.shape[1]), dtype)
-        return jax.lax.dynamic_update_slice(out, cast(w), (row_offset, 0))
+    def split_pts_only(w):  # weight consuming only the pts embedding [Cp, out]
+        return _split_emb_rows(w, multires, 0, dtype)
 
-    packed: dict[str, Any] = {"trunk_w": [], "trunk_b": [], "skip_w": {}}
+    packed: dict = {"trunk_w": [], "trunk_b": [], "skip_wx": {}, "skip_ws": {}}
     for i, layer in enumerate(params["pts_linears"]):
         w, b = layer["weight"], layer["bias"]
         if i == 0:
-            packed["trunk_w"].append(pad_rows(w, 0))  # [PAD, W]
+            wx, ws = split_pts_only(w)
+            packed["w0x"], packed["w0s"] = wx, ws
+            packed["trunk_w"].append(None)
         elif (i - 1) in cfg.skips:
             # reference concat order: cat([input_pts, h]) (helpers.py:118)
-            packed["skip_w"][i] = pad_rows(w[:Cp], 0)  # emb part
-            packed["trunk_w"].append(cast(w[Cp:]))  # h part [W, W]
+            wx, ws = split_pts_only(w[:Cp])
+            packed["skip_wx"][i], packed["skip_ws"][i] = wx, ws
+            packed["trunk_w"].append(cast(w[Cp:]))
         else:
             packed["trunk_w"].append(cast(w))
         packed["trunk_b"].append(b.astype(jnp.float32))
 
     packed["feature_w"] = cast(params["feature_linear"]["weight"])
     packed["feature_b"] = params["feature_linear"]["bias"].astype(jnp.float32)
-    vw = params["views_linears"][0]["weight"]  # [W + Cv, W//2], cat([feature, views])
+    # views head: cat([feature, views_emb]) @ W — views rows need the DIRS
+    # slots: prepend Cp zero rows so _split_emb_rows sees [pts | dirs] layout.
+    vw = params["views_linears"][0]["weight"]
+    vw_emb = jnp.concatenate(
+        [jnp.zeros((Cp, vw.shape[1]), vw.dtype), vw[W:]], axis=0
+    )
+    packed["views_wx"], packed["views_ws"] = _split_emb_rows(
+        vw_emb, multires, multires_views, dtype
+    )
     packed["views_wf"] = cast(vw[:W])
-    packed["views_wv"] = pad_rows(vw[W:], Cp)  # views rows live at offset Cp
     packed["views_b"] = params["views_linears"][0]["bias"].astype(jnp.float32)
     # combined 4-col head: cols 0-2 rgb (from hv), col 3 alpha (from h)
     rgb_w, rgb_b = params["rgb_linear"]["weight"], params["rgb_linear"]["bias"]
@@ -98,15 +153,18 @@ def pack_nerf_params(params: dict, cfg: NeRFConfig, dtype=jnp.bfloat16) -> dict:
 
 
 def _flatten_packed(packed: dict) -> list:
-    flat = list(packed["trunk_w"]) + list(packed["trunk_b"])
-    for i in sorted(packed["skip_w"]):
-        flat.append(packed["skip_w"][i])
+    flat = [packed["w0x"], packed["w0s"]]
+    flat += [w for w in packed["trunk_w"] if w is not None]
+    flat += list(packed["trunk_b"])
+    for i in sorted(packed["skip_wx"]):
+        flat += [packed["skip_wx"][i], packed["skip_ws"][i]]
     flat += [
+        packed["views_wx"],
+        packed["views_ws"],
+        packed["views_wf"],
+        packed["views_b"],
         packed["feature_w"],
         packed["feature_b"],
-        packed["views_wf"],
-        packed["views_wv"],
-        packed["views_b"],
         packed["head_rgb4"],
         packed["head_alpha4"],
         packed["head_b4"],
@@ -115,28 +173,45 @@ def _flatten_packed(packed: dict) -> list:
 
 
 def _kernel_body(cfg: NeRFConfig, dtype, refs):
-    emb_ref, out_ref = refs[0], refs[-1]
-    it = iter(refs[1:-1])
+    x_ref, F_ref, P_ref, out_ref = refs[0], refs[1], refs[2], refs[-1]
+    it = iter(refs[3:-1])
 
     def nxt():
         return next(it)[:]
 
     acc = jnp.float32
-    emb = emb_ref[:]  # [TILE, PAD] in compute dtype
-    trunk_w = [nxt() for _ in range(cfg.D)]
+    X32 = x_ref[:]  # [T, XDIM] fp32 raw inputs
+    # fp32 PE: high frequencies need full mantissa for the phase
+    S32 = jnp.sin(
+        jnp.dot(X32, F_ref[:], preferred_element_type=acc) + P_ref[:]
+    )
+    X = X32.astype(dtype)
+    S = S32.astype(dtype)
+
+    w0x, w0s = nxt(), nxt()
+    trunk_w = [None] + [nxt() for _ in range(cfg.D - 1)]
     trunk_b = [nxt() for _ in range(cfg.D)]
-    skip_w = {i: nxt() for i in range(1, cfg.D) if (i - 1) in cfg.skips}
+    skip = {
+        i: (nxt(), nxt())
+        for i in range(1, cfg.D)
+        if (i - 1) in cfg.skips
+    }
+    views_wx, views_ws, views_wf, views_b = nxt(), nxt(), nxt(), nxt()
     feature_w, feature_b = nxt(), nxt()
-    views_wf, views_wv, views_b = nxt(), nxt(), nxt()
     head_rgb4, head_alpha4, head_b4 = nxt(), nxt(), nxt()
+
+    def emb_dot(wx, ws):
+        return jnp.dot(X, wx, preferred_element_type=acc) + jnp.dot(
+            S, ws, preferred_element_type=acc
+        )
 
     h = None
     for i in range(cfg.D):
         if i == 0:
-            z = jnp.dot(emb, trunk_w[i], preferred_element_type=acc)
-        elif i in skip_w:
-            z = jnp.dot(h, trunk_w[i], preferred_element_type=acc) + jnp.dot(
-                emb, skip_w[i], preferred_element_type=acc
+            z = emb_dot(w0x, w0s)
+        elif i in skip:
+            z = jnp.dot(h, trunk_w[i], preferred_element_type=acc) + emb_dot(
+                *skip[i]
             )
         else:
             z = jnp.dot(h, trunk_w[i], preferred_element_type=acc)
@@ -147,7 +222,7 @@ def _kernel_body(cfg: NeRFConfig, dtype, refs):
     ).astype(dtype)
     hv = jax.nn.relu(
         jnp.dot(feature, views_wf, preferred_element_type=acc)
-        + jnp.dot(emb, views_wv, preferred_element_type=acc)
+        + emb_dot(views_wx, views_ws)
         + views_b
     ).astype(dtype)
     out_ref[:] = (
@@ -158,72 +233,74 @@ def _kernel_body(cfg: NeRFConfig, dtype, refs):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dtype", "tile", "interpret"))
-def _fused_call(emb, packed_flat, cfg, dtype, tile, interpret):
+def _fused_call(x, F, P, packed_flat, cfg, dtype, tile, interpret):
     def kern(*refs):
         _kernel_body(cfg, dtype, refs)
 
-    w_specs = [
+    const_specs = [
         pl.BlockSpec(
             w.shape,
-            lambda i, nd=len(w.shape): (0,) * nd,  # nd bound per-weight
+            lambda i, nd=len(w.shape): (0,) * nd,
             memory_space=pltpu.VMEM,
         )
-        for w in packed_flat
+        for w in (F, P, *packed_flat)
     ]
     return pl.pallas_call(
         kern,
-        grid=(emb.shape[0] // tile,),
+        grid=(x.shape[0] // tile,),
         in_specs=[
-            pl.BlockSpec((tile, PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tile, XDIM), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ]
-        + w_specs,
+        + const_specs,
         out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((emb.shape[0], 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], 4), jnp.float32),
         interpret=interpret,
-    )(emb, *packed_flat)
+    )(x, F, P, *packed_flat)
 
 
 def fused_nerf_apply(
     params: dict,
     cfg: NeRFConfig,
-    pts_emb: jnp.ndarray,
-    views_emb: jnp.ndarray,
+    pts: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    multires: int = 10,
+    multires_views: int = 4,
     *,
     dtype=jnp.bfloat16,
     tile: int = _TILE,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Evaluate the NeRF MLP on embedded inputs with the fused kernel.
+    """Evaluate PE + NeRF MLP on raw inputs with the fused kernel.
 
     Args:
         params: NeRF param pytree (models.nerf layout).
-        pts_emb: [..., input_ch] positional-encoded points.
-        views_emb: [..., input_ch_views] encoded view dirs (broadcastable to
-            pts_emb's batch shape, e.g. per-ray dirs vs per-sample points).
-        dtype: kernel compute dtype (bf16 default; f32 for parity tests).
-        tile: rows per grid program.
-        interpret: Pallas interpret mode (CPU tests).
+        pts: [..., 3] raw sample points.
+        viewdirs: [..., 3] view directions (broadcastable to pts' batch
+            shape, e.g. per-ray dirs vs per-sample points).
+        multires / multires_views: PE frequency counts (must match
+            cfg.input_ch / input_ch_views).
 
-    Returns [..., 4] fp32 raw output matching models.nerf.nerf_apply up to
-    the chosen compute dtype (~0.2% mean relative error for bf16).
+    Returns [..., 4] fp32 raw output matching
+    nerf_apply(params, cfg, cat(PE(pts), PE(dirs))) up to the compute dtype
+    (~0.2% mean relative error for bf16; PSNR parity < 0.01 dB measured).
     """
-    batch_shape = pts_emb.shape[:-1]
-    Cp, Cv = cfg.input_ch, cfg.input_ch_views
-    pts_flat = pts_emb.reshape(-1, Cp)
-    views_flat = jnp.broadcast_to(views_emb, batch_shape + (Cv,)).reshape(-1, Cv)
+    batch_shape = pts.shape[:-1]
+    pts_flat = pts.reshape(-1, 3).astype(jnp.float32)
+    dirs_flat = jnp.broadcast_to(viewdirs, batch_shape + (3,)).reshape(-1, 3)
     n = pts_flat.shape[0]
 
-    emb = jnp.zeros((n, PAD), dtype)
-    emb = emb.at[:, :Cp].set(pts_flat.astype(dtype))
-    emb = emb.at[:, Cp : Cp + Cv].set(views_flat.astype(dtype))
+    x = jnp.zeros((n, XDIM), jnp.float32)
+    x = x.at[:, 0:3].set(pts_flat)
+    x = x.at[:, 3:6].set(dirs_flat.astype(jnp.float32))
 
     tile = min(tile, max(8, n))
     pad = (-n) % tile
     if pad:
-        emb = jnp.concatenate([emb, jnp.zeros((pad, PAD), emb.dtype)], 0)
+        x = jnp.concatenate([x, jnp.zeros((pad, XDIM), x.dtype)], 0)
 
-    packed = pack_nerf_params(params, cfg, dtype)
+    F, P = _pe_matrices(multires, multires_views)
+    packed = pack_nerf_params(params, cfg, multires, multires_views, dtype)
     packed_flat = tuple(_flatten_packed(packed))
-    out = _fused_call(emb, packed_flat, cfg, dtype, tile, interpret)
+    out = _fused_call(x, F, P, packed_flat, cfg, dtype, tile, interpret)
     return out[:n].reshape(*batch_shape, 4)

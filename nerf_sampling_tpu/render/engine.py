@@ -156,13 +156,13 @@ def query_nerf(
     ):
         from nerf_sampling_tpu.kernels import fused_nerf_apply
 
-        pts_emb = pipeline.embed_pts(pts)
-        views_emb = pipeline.embed_dirs(viewdirs[:, None, :])
         return fused_nerf_apply(
             params,
             cfg,
-            pts_emb,
-            views_emb,
+            pts,
+            viewdirs[:, None, :],
+            pipeline.multires,
+            pipeline.multires_views,
             interpret=jax.default_backend() == "cpu",
         )
     emb = pipeline.embed_pts(pts)  # [N, S, Cp]

@@ -1,4 +1,4 @@
-"""Pallas kernel equivalence tests (interpret mode on CPU)."""
+"""Pallas fused PE+NeRF kernel equivalence tests (interpret mode on CPU)."""
 
 import jax
 import jax.numpy as jnp
@@ -17,18 +17,22 @@ def full_cfg():
     )
 
 
+def reference_forward(params, cfg, pts, dirs):
+    pe = positional_encoding(pts, 10)
+    de = positional_encoding(jnp.broadcast_to(dirs, pts.shape), 4)
+    return nerf_apply(params, cfg, jnp.concatenate([pe, de], -1))
+
+
 class TestFusedNeRF:
     @pytest.mark.parametrize("n", [512, 700])  # exact tile + ragged pad
     def test_matches_reference_f32(self, rng, n):
         cfg = full_cfg()
         params = nerf_init(jax.random.PRNGKey(0), cfg)
-        pts = rng.standard_normal((n, 3)).astype(np.float32)
-        dirs = rng.standard_normal((n, 3)).astype(np.float32)
-        pe = positional_encoding(jnp.asarray(pts), 10)
-        de = positional_encoding(jnp.asarray(dirs), 4)
-        want = nerf_apply(params, cfg, jnp.concatenate([pe, de], -1))
+        pts = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+        dirs = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+        want = reference_forward(params, cfg, pts, dirs)
         got = fused_nerf_apply(
-            params, cfg, pe, de, dtype=jnp.float32, interpret=True
+            params, cfg, pts, dirs, dtype=jnp.float32, interpret=True
         )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
@@ -37,18 +41,31 @@ class TestFusedNeRF:
     def test_matches_reference_bf16_loose(self, rng):
         cfg = full_cfg()
         params = nerf_init(jax.random.PRNGKey(0), cfg)
-        pts = rng.standard_normal((256, 3)).astype(np.float32)
-        dirs = rng.standard_normal((256, 3)).astype(np.float32)
-        pe = positional_encoding(jnp.asarray(pts), 10)
-        de = positional_encoding(jnp.asarray(dirs), 4)
-        want = np.asarray(nerf_apply(params, cfg, jnp.concatenate([pe, de], -1)))
+        pts = jnp.asarray(rng.standard_normal((256, 3)).astype(np.float32))
+        dirs = jnp.asarray(rng.standard_normal((256, 3)).astype(np.float32))
+        want = np.asarray(reference_forward(params, cfg, pts, dirs))
         got = np.asarray(
-            fused_nerf_apply(params, cfg, pe, de, dtype=jnp.bfloat16,
+            fused_nerf_apply(params, cfg, pts, dirs, dtype=jnp.bfloat16,
                              interpret=True)
         )
-        # bf16 matmuls with f32 accumulation: ~1% relative error budget
+        # bf16 matmuls with f32 accumulation + f32 PE: ~1% error budget
         err = np.abs(got - want) / (np.abs(want) + 1e-2)
         assert float(err.mean()) < 0.01, float(err.mean())
+
+    def test_high_frequency_pe_precision(self, rng):
+        """The f32 in-kernel PE must track reference sin(x * 2^9) closely —
+        this is what bf16 PE would get catastrophically wrong."""
+        cfg = full_cfg()
+        params = nerf_init(jax.random.PRNGKey(2), cfg)
+        # large coordinates -> high phase at top frequency
+        pts = jnp.asarray(rng.uniform(-4, 4, (128, 3)).astype(np.float32))
+        dirs = jnp.asarray(rng.standard_normal((128, 3)).astype(np.float32))
+        want = np.asarray(reference_forward(params, cfg, pts, dirs))
+        got = np.asarray(
+            fused_nerf_apply(params, cfg, pts, dirs, dtype=jnp.float32,
+                             interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
 
     def test_batched_shape_and_broadcast_dirs(self, rng):
         """Per-ray dirs broadcast over the sample axis like run_network
@@ -56,16 +73,13 @@ class TestFusedNeRF:
         cfg = full_cfg()
         params = nerf_init(jax.random.PRNGKey(1), cfg)
         R, S = 6, 10
-        pts = rng.standard_normal((R, S, 3)).astype(np.float32)
-        dirs = rng.standard_normal((R, 1, 3)).astype(np.float32)
-        pe = positional_encoding(jnp.asarray(pts), 10)
-        de = positional_encoding(jnp.asarray(dirs), 4)
+        pts = jnp.asarray(rng.standard_normal((R, S, 3)).astype(np.float32))
+        dirs = jnp.asarray(rng.standard_normal((R, 1, 3)).astype(np.float32))
         got = fused_nerf_apply(
-            params, cfg, pe, de, dtype=jnp.float32, interpret=True
+            params, cfg, pts, dirs, dtype=jnp.float32, interpret=True
         )
         assert got.shape == (R, S, 4)
-        full_de = jnp.broadcast_to(de, (R, S, 27))
-        want = nerf_apply(params, cfg, jnp.concatenate([pe, full_de], -1))
+        want = reference_forward(params, cfg, pts, dirs)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
         )
