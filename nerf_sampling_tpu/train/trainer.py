@@ -231,11 +231,22 @@ class Trainer:
             except KeyError:
                 pass
 
+        if cfg.debug_nans:
+            from nerf_sampling_tpu.utils.profiling import enable_nan_debugging
+
+            enable_nan_debugging()
+
+        from nerf_sampling_tpu.utils.profiling import StepTimer, trace
+
+        timer = StepTimer(rays_per_step=cfg.N_rand)
         base_key = jax.random.PRNGKey(cfg.seed)
         metrics: dict[str, Any] = {}
         from tqdm import trange
 
         for i in trange(self.start + 1, N_iters):
+            if cfg.profile_dir is not None and i == self.start + 20:
+                profiler_cm = trace(cfg.profile_dir)
+                profiler_cm.__enter__()
             ro, rd, target = sampler.sample(i)
             rays = make_ray_batch(self.pipeline, ro, rd)
             key = jax.random.fold_in(base_key, i)
@@ -245,8 +256,13 @@ class Trainer:
             else:
                 state, metrics = step_fn(state, rays, target, key)
                 self.params = state.params._replace(depth=self.params.depth)
+            timer.tick()
+            if cfg.profile_dir is not None and i == self.start + 40:
+                jax.block_until_ready(jax.tree.leaves(state.params)[0])
+                profiler_cm.__exit__(None, None, None)
+                print(f"profiler trace written to {cfg.profile_dir}")
             self.global_step = i
-            self.log(i, metrics, state)
+            self.log(i, metrics, state, timer)
 
         final = metrics.get("psnr")
         return float(final) if final is not None else 0.0
@@ -265,7 +281,7 @@ class Trainer:
             return EvalMode.COMPARE_NERF
         return EvalMode.DEPTH_NET
 
-    def log(self, i: int, metrics: dict, state: TrainState) -> None:
+    def log(self, i: int, metrics: dict, state: TrainState, timer=None) -> None:
         cfg = self.cfg
         scene = self.scene
 
@@ -320,9 +336,10 @@ class Trainer:
                 f"PSNR: {psnr:.5f}"
             )
             print(info)
-            self.logger.log(
-                {"Loss": loss, "Depth net loss": dn_loss, "Depth net PSNR": psnr}, i
-            )
+            scalars = {"Loss": loss, "Depth net loss": dn_loss, "Depth net PSNR": psnr}
+            if timer is not None:
+                scalars.update(timer.metrics())
+            self.logger.log(scalars, i)
             with open(os.path.join(self.expdir, "psnr.txt"), "a") as f:
                 f.write(f"{info}\n")
             if self.trial is not None:

@@ -115,6 +115,10 @@ class TrainerConfig:
     # execution backend for the NeRF MLP ("xla" | "pallas"; see Pipeline)
     mlp_impl: str = "xla"
 
+    # observability (SURVEY.md §5: first-class tracing, the reference has none)
+    profile_dir: str | None = None  # jax.profiler trace of steps [20, 40)
+    debug_nans: bool = False  # fail at the op producing a NaN
+
     # misc
     seed: int = 42
 
