@@ -161,15 +161,23 @@ def _measure_tpu() -> float:
             pipeline, prm, H, W, K, c2w, key, EvalMode.FULL_NERF, chunk=CHUNK
         )
     )
+    import numpy as np
+
+    def sync(out):
+        # NB: on the axon backend block_until_ready can return at enqueue;
+        # only a device->host transfer guarantees completion.
+        return float(np.asarray(out["depth_net_rgb_map"])[0, 0, 0])
+
     key = jax.random.PRNGKey(0)
-    out = jax.block_until_ready(render(params, key))  # compile + warm up
+    out = render(params, key)  # compile + warm up
     assert bool(jnp.isfinite(out["depth_net_rgb_map"]).all())
+    sync(out)
 
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
         out = render(params, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+        sync(out)
     dt = (time.perf_counter() - t0) / reps
     return H * W / dt
 

@@ -24,9 +24,22 @@ def linear_init(
     return {"weight": weight, "bias": bias}
 
 
-def linear_apply(params: dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ W + b. Precision pinned to highest for PSNR parity on TPU MXU."""
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,  # fp32-exact (6-pass on MXU)
+    "high": jax.lax.Precision.HIGH,  # bf16x3 passes
+    "default": jax.lax.Precision.DEFAULT,  # single bf16 pass
+}
+
+
+def linear_apply(
+    params: dict[str, jnp.ndarray], x: jnp.ndarray, precision: str = "highest"
+) -> jnp.ndarray:
+    """y = x @ W + b.
+
+    Default pinned to highest for PSNR parity on TPU MXU; training can trade
+    precision for throughput via the model configs' ``precision`` field.
+    """
     return (
-        jnp.dot(x, params["weight"], precision=jax.lax.Precision.HIGHEST)
+        jnp.dot(x, params["weight"], precision=_PRECISIONS[precision])
         + params["bias"]
     )

@@ -44,6 +44,8 @@ class DepthNetConfig:
     sphere_radius: float = 2.0
     near: float = 2.0
     far: float = 6.0
+    # matmul precision: "highest" (fp32 parity) | "high" | "default" (bf16)
+    precision: str = "highest"
 
     @property
     def origin_dims(self) -> int:
@@ -101,12 +103,12 @@ def depth_net_init(key: jax.Array, cfg: DepthNetConfig) -> dict:
 
 
 def _tower_apply(
-    layers: list[dict], embedded: jnp.ndarray
+    layers: list[dict], embedded: jnp.ndarray, precision: str = "highest"
 ) -> jnp.ndarray:
     """Skip-concat tower WITHOUT inter-layer activation (see module docstring)."""
     h = embedded
     for layer in layers:
-        h = linear_apply(layer, jnp.concatenate([h, embedded], -1))
+        h = linear_apply(layer, jnp.concatenate([h, embedded], -1), precision)
     return h
 
 
@@ -123,9 +125,9 @@ def depth_net_apply(
         intersections.reshape(rays_o.shape[0], 6)
     )
 
-    origin_out = _tower_apply(params["origin_layers"], origin_emb)
-    direction_out = _tower_apply(params["direction_layers"], direction_emb)
-    intersection_out = _tower_apply(params["intersection_layers"], intersection_emb)
+    origin_out = _tower_apply(params["origin_layers"], origin_emb, cfg.precision)
+    direction_out = _tower_apply(params["direction_layers"], direction_emb, cfg.precision)
+    intersection_out = _tower_apply(params["intersection_layers"], intersection_emb, cfg.precision)
 
     h = jnp.concatenate(
         [
@@ -139,7 +141,7 @@ def depth_net_apply(
         -1,
     )
     for layer in params["cat_layers"]:
-        h = jax.nn.leaky_relu(linear_apply(layer, h), negative_slope=0.01)
+        h = jax.nn.leaky_relu(linear_apply(layer, h, cfg.precision), negative_slope=0.01)
 
-    depth = jax.nn.sigmoid(linear_apply(params["to_depth"], h))
+    depth = jax.nn.sigmoid(linear_apply(params["to_depth"], h, cfg.precision))
     return cfg.near * (1 - depth) + cfg.far * depth

@@ -36,6 +36,8 @@ class NeRFConfig:
     output_ch: int = 4
     skips: tuple[int, ...] = (4,)
     use_viewdirs: bool = False
+    # matmul precision: "highest" (fp32 parity) | "high" | "default" (bf16)
+    precision: str = "highest"
 
 
 def nerf_init(key: jax.Array, cfg: NeRFConfig) -> dict:
@@ -72,16 +74,16 @@ def nerf_apply(params: dict, cfg: NeRFConfig, x: jnp.ndarray) -> jnp.ndarray:
 
     h = input_pts
     for i, layer in enumerate(params["pts_linears"]):
-        h = jax.nn.relu(linear_apply(layer, h))
+        h = jax.nn.relu(linear_apply(layer, h, cfg.precision))
         if i in cfg.skips:
             h = jnp.concatenate([input_pts, h], -1)
 
     if cfg.use_viewdirs:
-        alpha = linear_apply(params["alpha_linear"], h)
-        feature = linear_apply(params["feature_linear"], h)
+        alpha = linear_apply(params["alpha_linear"], h, cfg.precision)
+        feature = linear_apply(params["feature_linear"], h, cfg.precision)
         h = jnp.concatenate([feature, input_views], -1)
         for layer in params["views_linears"]:
-            h = jax.nn.relu(linear_apply(layer, h))
-        rgb = linear_apply(params["rgb_linear"], h)
+            h = jax.nn.relu(linear_apply(layer, h, cfg.precision))
+        rgb = linear_apply(params["rgb_linear"], h, cfg.precision)
         return jnp.concatenate([rgb, alpha], -1)
-    return linear_apply(params["output_linear"], h)
+    return linear_apply(params["output_linear"], h, cfg.precision)

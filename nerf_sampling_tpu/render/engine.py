@@ -254,9 +254,20 @@ def _argmax_depth(
 
 
 def _query_fine_or_coarse(
-    pipeline: Pipeline, params: NeRFParams, pts: jnp.ndarray, rays: RayBatch
+    pipeline: Pipeline,
+    params: NeRFParams,
+    pts: jnp.ndarray,
+    rays: RayBatch,
+    force_xla: bool = False,
 ) -> jnp.ndarray:
-    """NeRF query preferring the fine network (reference nerf_utils.py:696-699)."""
+    """NeRF query preferring the fine network (reference nerf_utils.py:696-699).
+
+    force_xla selects the differentiable path regardless of mlp_impl — used
+    for the depth-point query whose gradient w.r.t. the input points drives
+    DepthNet training (the Pallas kernel has no VJP).
+    """
+    if force_xla and pipeline.mlp_impl != "xla":
+        pipeline = dataclasses.replace(pipeline, mlp_impl="xla")
     if params.fine is not None:
         return query_nerf(pipeline, params.fine, pipeline.fine, pts, rays.viewdirs)
     return query_nerf(pipeline, params.coarse, pipeline.nerf, pts, rays.viewdirs)
@@ -272,14 +283,22 @@ def render_rays_train(
 
     Full hierarchical NeRF -> argmax-weight depth target -> DepthNet predicts
     one depth -> NeRF queried at that single point -> composited maps.
+
+    With mlp_impl="pallas" the hierarchical target pass runs on the fused
+    kernel: it has no dependence on DepthNet params, so depth-net-only
+    training never differentiates it (the reference freezes the NeRF here
+    anyway, run.py:101-107). Only the single depth-point query stays on the
+    differentiable XLA path (its input-gradient trains DepthNet).
     """
     k_nerf, k_noise = jax.random.split(key)
     hier = sample_as_in_nerf(pipeline, params, rays, k_nerf)
     max_z, max_pts, _ = _argmax_depth(hier.fine, hier.fine_z_vals, rays)
+    max_z = jax.lax.stop_gradient(max_z)
+    max_pts = jax.lax.stop_gradient(max_pts)
 
     depth_z = depth_net_apply(params.depth, pipeline.depth, rays.rays_o, rays.rays_d)
     depth_pts = z_to_points(rays.rays_o, rays.rays_d, depth_z)
-    depth_raw = _query_fine_or_coarse(pipeline, params, depth_pts, rays)
+    depth_raw = _query_fine_or_coarse(pipeline, params, depth_pts, rays, force_xla=True)
     out = raw2outputs(
         depth_raw,
         depth_z,

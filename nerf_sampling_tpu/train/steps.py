@@ -80,7 +80,14 @@ def make_nerf_train_step(
     Optimizes {coarse, fine} jointly with
     loss = img2mse(fine_rgb, target) + img2mse(coarse_rgb, target)
     (the standard NeRF objective the reference's machinery implies).
+
+    Always uses the differentiable XLA MLP path — here the NeRF params ARE
+    the gradient target, and the Pallas kernel has no VJP.
     """
+    import dataclasses
+
+    if pipeline.mlp_impl != "xla":
+        pipeline = dataclasses.replace(pipeline, mlp_impl="xla")
 
     def step(
         nerf_state: TrainState,  # params: NeRFParams(coarse, fine, depth=None)

@@ -114,6 +114,9 @@ class TrainerConfig:
 
     # execution backend for the NeRF MLP ("xla" | "pallas"; see Pipeline)
     mlp_impl: str = "xla"
+    # XLA-path matmul precision: "highest" (fp32 parity) | "high" | "default"
+    # (bf16 MXU — faster training at slightly noisier depth targets)
+    matmul_precision: str = "highest"
 
     # observability (SURVEY.md §5: first-class tracing, the reference has none)
     profile_dir: str | None = None  # jax.profiler trace of steps [20, 40)
@@ -145,6 +148,7 @@ class TrainerConfig:
             output_ch=5 if self.N_importance > 0 else 4,
             skips=(4,),
             use_viewdirs=self.use_viewdirs,
+            precision=self.matmul_precision,
         )
 
     def depth_net_config(self) -> DepthNetConfig:
@@ -157,6 +161,7 @@ class TrainerConfig:
             sphere_radius=self.sphere_radius,
             near=self.near,
             far=self.far,
+            precision=self.matmul_precision,
         )
 
     def pipeline(self, with_depth: bool = True) -> Pipeline:
