@@ -49,6 +49,13 @@ from nerf_sampling_tpu.utils.config import load_trainer_config, override_config
               help="Use temporary folder for experiment.")
 @click.option("-ip", "--i_print", default=1000, show_default=True)
 @click.option("--basedir", default=None, help="Override output dir.")
+@click.option("--mlp_impl", type=click.Choice(["xla", "pallas"]), default="pallas",
+              show_default=True,
+              help="pallas: fused bf16 kernels (PSNR parity validated).")
+@click.option("--ft_path", "ft_path_opt", default=None,
+              help="Explicit NeRF checkpoint to load.")
+@click.option("--depth_net_path", "depth_net_path_opt", default=None,
+              help="Explicit DepthNet checkpoint to load.")
 @click.option("--n_samples", "n_samples_opt", default=2, show_default=True)
 @click.option("--distance", "distance_opt", default=0.01, show_default=True)
 @click.option("--sampling_mode", "sampling_mode_opt", default="uniform",
@@ -67,6 +74,7 @@ def main(**kw):
     cfg.use_full_nerf = kw["nerf_full"]
     cfg.render_only = True
     cfg.render_test = True
+    cfg.mlp_impl = kw["mlp_impl"]
     if kw["render_test"]:
         cfg.render_test = True
 
@@ -103,9 +111,13 @@ def main(**kw):
 
     cfg.datadir = datadir
     cfg.basedir = basedir
-    if ft_path and os.path.exists(ft_path):
+    if kw["ft_path_opt"]:
+        cfg.ft_path = kw["ft_path_opt"]
+    elif ft_path and os.path.exists(ft_path):
         cfg.ft_path = ft_path
-    if depth_net_path and os.path.exists(depth_net_path):
+    if kw["depth_net_path_opt"]:
+        cfg.depth_net_path = kw["depth_net_path_opt"]
+    elif depth_net_path and os.path.exists(depth_net_path):
         cfg.depth_net_path = depth_net_path
 
     # manual values (reference render.py:208-212)

@@ -67,6 +67,14 @@ from nerf_sampling_tpu.utils.config import (
               default="depth_net", show_default=True,
               help="depth_net: train DepthNet vs frozen NeRF; nerf: pretrain NeRF.")
 @click.option("--basedir", default="./logs", show_default=True)
+@click.option("--precision", "matmul_precision",
+              type=click.Choice(["highest", "high", "default"]), default="highest",
+              show_default=True, help="XLA matmul precision (default=bf16 MXU).")
+@click.option("--mlp_impl", type=click.Choice(["xla", "pallas"]), default="xla",
+              show_default=True,
+              help="pallas: fused-kernel hierarchical pass (depth_net mode).")
+@click.option("--ft_path", "ft_path_opt", default=None,
+              help="Explicit NeRF checkpoint (.tar or .npz) to load.")
 def main(**kw):
     """Run NeRF / sampling-network training with the provided configuration."""
     cfg = load_trainer_config(kw["config"], kw["model"])
@@ -76,6 +84,8 @@ def main(**kw):
     cfg.wandb_mode = kw["wandb_mode"]
     cfg.train_mode = kw["train_mode"]
     cfg.basedir = kw["basedir"]
+    cfg.matmul_precision = kw["matmul_precision"]
+    cfg.mlp_impl = kw["mlp_impl"]
 
     datadir = kw["dataset_path"]
     ft_path = None
@@ -106,7 +116,7 @@ def main(**kw):
     cfg_dict = cfg.__dict__
     override_config(config=cfg_dict, update=override)
 
-    cfg.ft_path = ft_path
+    cfg.ft_path = kw["ft_path_opt"] or ft_path
     cfg.datadir = datadir
     cfg.expname = (
         f"{dataset_name or 'custom'}_depth_net"
