@@ -75,6 +75,10 @@ from nerf_sampling_tpu.utils.config import (
               help="pallas: fused-kernel hierarchical pass (depth_net mode).")
 @click.option("--ft_path", "ft_path_opt", default=None,
               help="Explicit NeRF checkpoint (.tar or .npz) to load.")
+@click.option("--seed", default=42, show_default=True,
+              help="Init + sampling seed. If NeRF pretraining collapses to "
+                   "an all-white render (density death, a failure mode "
+                   "inherited from the NeRF lineage), try another seed.")
 def main(**kw):
     """Run NeRF / sampling-network training with the provided configuration."""
     cfg = load_trainer_config(kw["config"], kw["model"])
@@ -86,6 +90,12 @@ def main(**kw):
     cfg.basedir = kw["basedir"]
     cfg.matmul_precision = kw["matmul_precision"]
     cfg.mlp_impl = kw["mlp_impl"]
+    cfg.seed = kw["seed"]
+    if kw["train_mode"] == "nerf" and cfg.precrop_iters == 0:
+        # reference blender configs train the first 500 iters on a center
+        # crop (configs/lego.txt:16-17) to avoid density collapse; the YAML
+        # (tuned for depth-net-only training) leaves it off.
+        cfg.precrop_iters = 500
 
     datadir = kw["dataset_path"]
     ft_path = None

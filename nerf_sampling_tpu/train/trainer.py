@@ -257,6 +257,12 @@ class Trainer:
                 state, metrics = step_fn(state, rays, target, key)
                 self.params = state.params._replace(depth=self.params.depth)
             timer.tick()
+            # Bound the async dispatch queue: the axon tunnel degrades badly
+            # with hundreds of queued steps (observed multi-minute stalls).
+            # A scalar host read every 32 steps keeps the queue shallow at
+            # negligible cost (block_until_ready alone does NOT drain here).
+            if i % 32 == 0:
+                float(metrics["loss"])
             if cfg.profile_dir is not None and i == self.start + 40:
                 jax.block_until_ready(jax.tree.leaves(state.params)[0])
                 profiler_cm.__exit__(None, None, None)
