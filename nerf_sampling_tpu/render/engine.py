@@ -97,6 +97,11 @@ class Pipeline:
     # and parity) or "pallas" (fused bf16 VMEM-resident kernel, eval only;
     # ~4.3x the fp32 path on v5e). The pallas path has no VJP.
     mlp_impl: str = "xla"
+    # Max points per XLA MLP evaluation (reference netchunk,
+    # nerf_utils.py:926-929): bounds the [M, 90] embedding + [M, 256]
+    # activation footprint via an in-jit lax.map. The pallas kernel needs no
+    # such bound (activations never leave VMEM).
+    netchunk: int = 1024 * 64
 
     def embed_pts(self, pts: jnp.ndarray) -> jnp.ndarray:
         if self.i_embed == -1:
@@ -165,11 +170,29 @@ def query_nerf(
             pipeline.multires_views,
             interpret=jax.default_backend() == "cpu",
         )
-    emb = pipeline.embed_pts(pts)  # [N, S, Cp]
     if viewdirs is not None:
         dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
-        emb = jnp.concatenate([emb, pipeline.embed_dirs(dirs)], -1)
-    return nerf_apply(params, cfg, emb)
+        flat_in = jnp.concatenate([pts, dirs], -1).reshape(-1, 6)
+    else:
+        flat_in = pts.reshape(-1, 3)
+
+    def apply_chunk(chunk_in: jnp.ndarray) -> jnp.ndarray:
+        emb = pipeline.embed_pts(chunk_in[..., :3])
+        if viewdirs is not None:
+            emb = jnp.concatenate(
+                [emb, pipeline.embed_dirs(chunk_in[..., 3:6])], -1
+            )
+        return nerf_apply(params, cfg, emb)
+
+    m = flat_in.shape[0]
+    out_ch = 4 if cfg.use_viewdirs else cfg.output_ch
+    if m <= pipeline.netchunk:
+        raw = apply_chunk(flat_in)
+    else:
+        flat_in = _pad_to_multiple(flat_in, pipeline.netchunk)
+        tiles = flat_in.reshape(-1, pipeline.netchunk, flat_in.shape[-1])
+        raw = jax.lax.map(apply_chunk, tiles).reshape(-1, out_ch)[:m]
+    return raw.reshape(*pts.shape[:-1], out_ch)
 
 
 class HierarchicalResult(NamedTuple):

@@ -243,6 +243,12 @@ class Trainer:
         metrics: dict[str, Any] = {}
         from tqdm import trange
 
+        # The frozen-NeRF bundle passed to the depth step every iteration.
+        # Never alias the live optimizer state into it: the step donates its
+        # state buffers, and passing the same buffer as both a donated and a
+        # regular argument wedges the axon runtime.
+        frozen_nerf = self.params._replace(depth=None)
+
         for i in trange(self.start + 1, N_iters):
             if cfg.profile_dir is not None and i == self.start + 20:
                 profiler_cm = trace(cfg.profile_dir)
@@ -251,11 +257,11 @@ class Trainer:
             rays = make_ray_batch(self.pipeline, ro, rd)
             key = jax.random.fold_in(base_key, i)
             if cfg.train_mode == "depth_net":
-                state, metrics = step_fn(self.params, state, rays, target, key)
-                self.params = self.params._replace(depth=state.params)
+                state, metrics = step_fn(frozen_nerf, state, rays, target, key)
+                self.params = frozen_nerf._replace(depth=state.params)
             else:
                 state, metrics = step_fn(state, rays, target, key)
-                self.params = state.params._replace(depth=self.params.depth)
+                self.params = state.params._replace(depth=None)
             timer.tick()
             # Bound the async dispatch queue: the axon tunnel degrades badly
             # with hundreds of queued steps (observed multi-minute stalls).

@@ -187,6 +187,7 @@ class TrainerConfig:
             sampling_mode=self.sampling_mode,
             distance=self.distance,
             mlp_impl=self.mlp_impl,
+            netchunk=self.netchunk,
         )
 
 
