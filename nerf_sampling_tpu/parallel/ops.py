@@ -54,9 +54,10 @@ def make_sharded_depth_train_step(
     rs, rep = ray_sharding(mesh), replicated_sharding(mesh)
     step = make_depth_net_train_step(pipeline, optimizer)
     # step is already jitted; re-jit with shardings (nested jit collapses).
+    # batch is the packed [N, 9] ray array, sharded on rays.
     return jax.jit(
         step,
-        in_shardings=(rep, rep, rs, rs, rep),
+        in_shardings=(rep, rep, rs, rep),
         out_shardings=(rep, rep),
         donate_argnums=(1,),
     )
@@ -70,7 +71,7 @@ def make_sharded_nerf_train_step(
     step = make_nerf_train_step(pipeline, optimizer)
     return jax.jit(
         step,
-        in_shardings=(rep, rs, rs, rep),
+        in_shardings=(rep, rs, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )

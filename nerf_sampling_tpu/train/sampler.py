@@ -46,6 +46,7 @@ class RaySampler:
         self.H, self.W = H, W
         self._rays_rgb = None
         self._i_batch = 0
+        self._ray_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         if cfg.use_batching:
             self._build_batched_rays()
 
@@ -92,8 +93,13 @@ class RaySampler:
         else:
             img_i = self.rng.choice(scene.i_train)
         target = scene.images[img_i]
-        pose = scene.poses[img_i, :3, :4]
-        rays_o, rays_d = get_rays_np(self.H, self.W, self.K, pose)
+        if img_i not in self._ray_cache:
+            # cache per-image rays: get_rays_np on a 400^2 grid costs ~10 ms
+            # per call, per step, otherwise (reference recomputes every step,
+            # Trainer.py:427)
+            pose = scene.poses[img_i, :3, :4]
+            self._ray_cache[img_i] = get_rays_np(self.H, self.W, self.K, pose)
+        rays_o, rays_d = self._ray_cache[img_i]
 
         if i < cfg.precrop_iters:
             dH = int(self.H // 2 * cfg.precrop_frac)

@@ -28,10 +28,22 @@ from nerf_sampling_tpu.render.engine import (
     NeRFParams,
     Pipeline,
     RayBatch,
+    make_ray_batch,
     render_rays_train,
     render_rays_vanilla,
 )
 from nerf_sampling_tpu.train.state import TrainState
+
+
+def _unpack_batch(pipeline: Pipeline, batch) -> tuple[RayBatch, jnp.ndarray]:
+    """Accept either a (RayBatch, target) pair or one packed [N, 9] array
+    (rays_o | rays_d | rgb). The packed form makes a step a single
+    host->device transfer — per-op dispatch latency through the remote
+    axon tunnel dominates otherwise."""
+    if isinstance(batch, tuple) and len(batch) == 2 and isinstance(batch[0], RayBatch):
+        return batch
+    rays = make_ray_batch(pipeline, batch[:, 0:3], batch[:, 3:6])
+    return rays, batch[:, 6:9]
 
 
 def make_depth_net_train_step(
@@ -42,10 +54,11 @@ def make_depth_net_train_step(
     def step(
         nerf_params: NeRFParams,  # .depth ignored; coarse/fine frozen
         depth_state: TrainState,
-        rays: RayBatch,
-        target: jnp.ndarray,
+        batch,  # packed [N, 9] (rays_o|rays_d|rgb) or (RayBatch, target)
         key: jax.Array,
     ) -> tuple[TrainState, dict[str, jnp.ndarray]]:
+        rays, target = _unpack_batch(pipeline, batch)
+
         def loss_fn(depth_params: Any):
             params = NeRFParams(nerf_params.coarse, nerf_params.fine, depth_params)
             out = render_rays_train(pipeline, params, rays, key)
@@ -91,10 +104,11 @@ def make_nerf_train_step(
 
     def step(
         nerf_state: TrainState,  # params: NeRFParams(coarse, fine, depth=None)
-        rays: RayBatch,
-        target: jnp.ndarray,
+        batch,  # packed [N, 9] (rays_o|rays_d|rgb) or (RayBatch, target)
         key: jax.Array,
     ) -> tuple[TrainState, dict[str, jnp.ndarray]]:
+        rays, target = _unpack_batch(pipeline, batch)
+
         def loss_fn(params: NeRFParams):
             out = render_rays_vanilla(pipeline, params, rays, key)
             img_loss = img2mse(out["rgb_map"], target)

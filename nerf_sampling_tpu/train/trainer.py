@@ -254,13 +254,16 @@ class Trainer:
                 profiler_cm = trace(cfg.profile_dir)
                 profiler_cm.__enter__()
             ro, rd, target = sampler.sample(i)
-            rays = make_ray_batch(self.pipeline, ro, rd)
+            # one packed host->device transfer; rays are unpacked inside the
+            # jitted step (per-op dispatch latency through the axon tunnel
+            # made host-side make_ray_batch cost ~200 ms/iter)
+            batch = np.concatenate([ro, rd, target], -1)
             key = jax.random.fold_in(base_key, i)
             if cfg.train_mode == "depth_net":
-                state, metrics = step_fn(frozen_nerf, state, rays, target, key)
+                state, metrics = step_fn(frozen_nerf, state, batch, key)
                 self.params = frozen_nerf._replace(depth=state.params)
             else:
-                state, metrics = step_fn(state, rays, target, key)
+                state, metrics = step_fn(state, batch, key)
                 self.params = state.params._replace(depth=None)
             timer.tick()
             # Bound the async dispatch queue: the axon tunnel degrades badly

@@ -95,7 +95,7 @@ class TestShardedTrain:
             jnp.full((64, 3), 0.5),
             jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rays")),
         )
-        new_state, metrics = step(params, state, rays, target, jax.random.PRNGKey(0))
+        new_state, metrics = step(params, state, (rays, target), jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
         leaf = jax.tree.leaves(new_state.params)[0]
         assert leaf.sharding.is_fully_replicated
@@ -113,11 +113,11 @@ class TestShardedTrain:
         copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
         s1 = init_state(copy(params), opt)
         ref_step = make_nerf_train_step(p, opt)
-        s1, m1 = ref_step(s1, rays, target, key)
+        s1, m1 = ref_step(s1, (rays, target), key)
 
         s2 = init_state(copy(params), opt)
         dp_step = make_sharded_nerf_train_step(p, opt, mesh)
-        s2, m2 = dp_step(s2, shard_ray_batch(mesh, rays), target, key)
+        s2, m2 = dp_step(s2, shard_ray_batch(mesh, (rays, target)), key)
 
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):

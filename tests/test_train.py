@@ -167,7 +167,7 @@ class TestSteps:
         target = jnp.ones((16, 3)) * 0.5
         # snapshot: the step donates its input state's buffers
         before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
-        new_state, metrics = step(params, state, rays, target, jax.random.PRNGKey(0))
+        new_state, metrics = step(params, state, (rays, target), jax.random.PRNGKey(0))
         assert int(new_state.step) == 1
         assert not trees_equal(before, new_state.params)
         for k in ("loss", "depth_net_loss", "psnr"):
@@ -186,7 +186,7 @@ class TestSteps:
         target = jnp.zeros((32, 3))  # black target against white bkgd
         losses = []
         for i in range(30):
-            state, metrics = step(state, rays, target, jax.random.PRNGKey(i))
+            state, metrics = step(state, (rays, target), jax.random.PRNGKey(i))
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0] * 0.7, losses[::10]
 

@@ -30,7 +30,7 @@ def test_depth_step_with_pallas_hier_matches_xla_direction():
         opt = make_depth_optimizer(1e-3)
         st = init_state(jax.tree.map(lambda x: jnp.array(x, copy=True), params.depth), opt)
         step = make_depth_net_train_step(p, opt)
-        st, m = step(params, st, rays, target, key)
+        st, m = step(params, st, (rays, target), key)
         assert np.isfinite(float(m["loss"])), name
         assert np.isfinite(float(m["depth_net_loss"])), name
         results[name] = (st.params, {k: float(v) for k, v in m.items()})
