@@ -94,11 +94,16 @@ class RaySampler:
             img_i = self.rng.choice(scene.i_train)
         target = scene.images[img_i]
         if img_i not in self._ray_cache:
-            # cache per-image rays: get_rays_np on a 400^2 grid costs ~10 ms
-            # per call, per step, otherwise (reference recomputes every step,
-            # Trainer.py:427)
+            # cache per-image rays as float32: get_rays_np on a 400^2 grid
+            # costs ~10 ms per call otherwise (reference recomputes every
+            # step, Trainer.py:427), and its float64 output (K is f64) would
+            # silently upcast every training batch
             pose = scene.poses[img_i, :3, :4]
-            self._ray_cache[img_i] = get_rays_np(self.H, self.W, self.K, pose)
+            ro, rd = get_rays_np(self.H, self.W, self.K, pose)
+            self._ray_cache[img_i] = (
+                np.ascontiguousarray(ro, dtype=np.float32),
+                np.ascontiguousarray(rd, dtype=np.float32),
+            )
         rays_o, rays_d = self._ray_cache[img_i]
 
         if i < cfg.precrop_iters:

@@ -47,12 +47,21 @@ def _unpack_batch(pipeline: Pipeline, batch) -> tuple[RayBatch, jnp.ndarray]:
 
 
 def make_depth_net_train_step(
-    pipeline: Pipeline, optimizer: optax.GradientTransformation
+    pipeline: Pipeline,
+    optimizer: optax.GradientTransformation,
+    frozen_nerf: NeRFParams | None = None,
 ) -> Callable:
-    """Build the jitted depth-net-only train step (frozen NeRF)."""
+    """Build the jitted depth-net-only train step (frozen NeRF).
 
-    def step(
-        nerf_params: NeRFParams,  # .depth ignored; coarse/fine frozen
+    With ``frozen_nerf`` given, the NeRF weights are closed over as
+    compile-time constants and the returned step takes
+    (depth_state, batch, key) — shaving the ~270-leaf argument processing
+    (~30 ms/call host-side on the remote-tunneled backend) off every step.
+    Without it, the step takes (nerf_params, depth_state, batch, key).
+    """
+
+    def body(
+        nerf_params: NeRFParams,
         depth_state: TrainState,
         batch,  # packed [N, 9] (rays_o|rays_d|rgb) or (RayBatch, target)
         key: jax.Array,
@@ -82,7 +91,14 @@ def make_depth_net_train_step(
         }
         return TrainState(depth_state.step + 1, new_params, opt_state), metrics
 
-    return jax.jit(step, donate_argnums=(1,))
+    if frozen_nerf is not None:
+        const_nerf = jax.tree.map(jnp.asarray, frozen_nerf._replace(depth=None))
+
+        def step(depth_state, batch, key):
+            return body(const_nerf, depth_state, batch, key)
+
+        return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(body, donate_argnums=(1,))
 
 
 def make_nerf_train_step(

@@ -42,6 +42,28 @@ from nerf_sampling_tpu.utils.config import TrainerConfig
 from nerf_sampling_tpu.utils.logging import MetricsLogger
 
 
+def _enable_compilation_cache() -> None:
+    """Persist compiled executables across processes.
+
+    The remote AOT compile of the full train step takes minutes on the axon
+    backend; the on-disk cache makes relaunches near-instant. Best-effort —
+    older jax versions or exotic backends may not support it.
+    """
+    import os
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.expanduser("~/.cache/nerf_sampling_tpu_jax"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # pragma: no cover
+        print(f"[trainer] compilation cache unavailable: {e}")
+
+
 class Trainer:
     """Drives depth-net training (frozen NeRF) or vanilla NeRF pretraining."""
 
@@ -187,6 +209,7 @@ class Trainer:
 
     def train(self, N_iters: int = 200001) -> float:
         cfg = self.cfg
+        _enable_compilation_cache()
         self.scene = self.load_data()
         self.create_log_dir_and_dump_config()
         self.setup_models()
@@ -211,7 +234,9 @@ class Trainer:
         if cfg.train_mode == "depth_net":
             optimizer = make_depth_optimizer(cfg.depth_net_lr)
             state = init_state(self.params.depth, optimizer, self.start)
-            step_fn = make_depth_net_train_step(self.pipeline, optimizer)
+            step_fn = make_depth_net_train_step(
+                self.pipeline, optimizer, frozen_nerf=self.params
+            )
         else:
             optimizer = make_nerf_optimizer(cfg.lrate, cfg.lrate_decay)
             state = init_state(
@@ -260,7 +285,7 @@ class Trainer:
             batch = np.concatenate([ro, rd, target], -1)
             key = jax.random.fold_in(base_key, i)
             if cfg.train_mode == "depth_net":
-                state, metrics = step_fn(frozen_nerf, state, batch, key)
+                state, metrics = step_fn(state, batch, key)
                 self.params = frozen_nerf._replace(depth=state.params)
             else:
                 state, metrics = step_fn(state, batch, key)
