@@ -475,6 +475,42 @@ def render_image(
     """
     rays_o, rays_d = get_rays(H, W, K, c2w)
     focal = K[0][0]
+
+    # Fast path: the fully-fused render kernel covers deterministic
+    # coarse-only FULL_NERF eval (bench.py's 64-query budget) end to end —
+    # one kernel, no XLA-side sampling/compositing.
+    if (
+        mode == EvalMode.FULL_NERF
+        and pipeline.mlp_impl == "pallas"
+        and pipeline.N_importance == 0
+        and pipeline.use_viewdirs
+        and not pipeline.ndc
+        and pipeline.i_embed != -1
+        and pipeline.N_samples & (pipeline.N_samples - 1) == 0
+    ):
+        from nerf_sampling_tpu.kernels.fused_render import fused_render
+
+        maps = fused_render(
+            params.coarse,
+            pipeline.nerf,
+            rays_o.reshape(-1, 3),
+            rays_d.reshape(-1, 3),
+            n_samples=pipeline.N_samples,
+            near=pipeline.near,
+            far=pipeline.far,
+            white_bkgd=pipeline.white_bkgd,
+            multires=pipeline.multires,
+            multires_views=pipeline.multires_views,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return {
+            "depth_net_rgb_map": maps["rgb_map"].reshape(H, W, 3),
+            "depth_net_disp_map": maps["disp_map"].reshape(H, W),
+            "depth_net_weights": maps["acc_map"].reshape(H, W),
+            "depth_net_z_vals": maps["depth_map"].reshape(H, W),
+            "depth_net_pts": jnp.zeros((H, W, 0, 3)),
+        }
+
     rays = make_ray_batch(
         pipeline,
         rays_o.reshape(-1, 3),
