@@ -140,12 +140,7 @@ def _measure_tpu() -> float:
     import jax.numpy as jnp
 
     from nerf_sampling_tpu.models import nerf_init
-    from nerf_sampling_tpu.render import (
-        EvalMode,
-        NeRFParams,
-        Pipeline,
-        render_image,
-    )
+    from nerf_sampling_tpu.render import EvalMode, NeRFParams, render_image
     from nerf_sampling_tpu.utils.config import TrainerConfig
 
     cfg = TrainerConfig(N_samples=N_SAMPLES, N_importance=0, mlp_impl="pallas")

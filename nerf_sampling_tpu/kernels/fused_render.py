@@ -29,7 +29,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nerf_sampling_tpu.kernels.fused_nerf import (
-    PAD,
     XDIM,
     _flatten_packed,
     _pe_matrices,

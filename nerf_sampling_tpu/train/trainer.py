@@ -18,12 +18,7 @@ import numpy as np
 
 from nerf_sampling_tpu.core.metrics import to8b
 from nerf_sampling_tpu.data.types import SceneData
-from nerf_sampling_tpu.render.engine import (
-    EvalMode,
-    NeRFParams,
-    Pipeline,
-    make_ray_batch,
-)
+from nerf_sampling_tpu.render.engine import EvalMode, NeRFParams, Pipeline
 from nerf_sampling_tpu.render.path import render_path
 from nerf_sampling_tpu.models import depth_net_init, nerf_init
 from nerf_sampling_tpu.train import checkpoint as ckpt_lib

@@ -197,3 +197,29 @@ class TestRenderImage:
         out = render_image(p, params, H, W, K, c2w, jax.random.PRNGKey(0))
         assert out["depth_net_rgb_map"].shape == (H, W, 3)
         assert np.isfinite(np.asarray(out["depth_net_rgb_map"])).all()
+
+
+class TestNerfMaxValues:
+    def test_max_rgb_is_sigmoid_raw_at_argmax(self):
+        """NERF_MAX renders sigmoid(raw rgb) gathered at the argmax-weight
+        sample (reference nerf_utils.py:813-829)."""
+        import jax.numpy as jnp
+
+        p = tiny_pipeline()
+        params = tiny_params(p)
+        rays = sphere_hitting_rays(p, 8)
+        key = jax.random.PRNGKey(0)
+        out = render_rays_eval(p, params, rays, key, EvalMode.NERF_MAX)
+        hier = sample_as_in_nerf(p, params, rays, key, perturb=0.0, raw_noise_std=0.0)
+        top = jnp.argmax(hier.fine.weights, axis=1)
+        want_rgb = jax.nn.sigmoid(
+            hier.fine_raw[jnp.arange(8), top, :3]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["depth_net_rgb_map"]), np.asarray(want_rgb),
+            rtol=1e-5, atol=1e-6,
+        )
+        want_z = jnp.take_along_axis(hier.fine_z_vals, top[:, None], axis=1)
+        np.testing.assert_allclose(
+            np.asarray(out["depth_net_z_vals"]), np.asarray(want_z), rtol=1e-6
+        )
