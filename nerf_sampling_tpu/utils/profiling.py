@@ -45,9 +45,10 @@ class StepTimer:
         return self.steps_per_sec * self.rays_per_step
 
     def metrics(self) -> dict[str, float]:
+        sps = self.steps_per_sec  # snapshot once: the property reads the clock
         return {
-            "steps_per_sec": self.steps_per_sec,
-            "rays_per_sec": self.rays_per_sec,
+            "steps_per_sec": sps,
+            "rays_per_sec": sps * self.rays_per_step,
         }
 
 
