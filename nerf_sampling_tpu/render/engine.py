@@ -485,6 +485,7 @@ def render_image(
         and pipeline.N_importance == 0
         and pipeline.use_viewdirs
         and not pipeline.ndc
+        and not pipeline.lindisp  # kernel computes linear-in-depth z only
         and pipeline.i_embed != -1
         and pipeline.N_samples & (pipeline.N_samples - 1) == 0
     ):

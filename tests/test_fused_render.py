@@ -92,3 +92,30 @@ class TestFusedRender:
         np.testing.assert_allclose(
             np.asarray(got["rgb_map"]), np.asarray(want.rgb_map), rtol=2e-4, atol=2e-4
         )
+
+
+class TestFastPathDispatch:
+    def test_render_image_fast_path_matches_xla(self, rng):
+        """render_image must route coarse-only FULL_NERF + pallas to the
+        fused kernel and agree with the XLA path."""
+        import dataclasses
+        from nerf_sampling_tpu.render import EvalMode, NeRFParams, Pipeline, render_image
+
+        cfg = NeRFConfig(
+            D=8, W=256, input_ch=63, input_ch_views=27, output_ch=4,
+            skips=(4,), use_viewdirs=True,
+        )
+        params = NeRFParams(coarse=nerf_init(jax.random.PRNGKey(0), cfg))
+        p_xla = Pipeline(nerf=cfg, N_samples=16, N_importance=0, mlp_impl="xla")
+        p_pal = dataclasses.replace(p_xla, mlp_impl="pallas")
+        H, W, focal = 6, 8, 10.0
+        K = jnp.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]])
+        c2w = jnp.array([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.0]])
+        key = jax.random.PRNGKey(0)
+        a = render_image(p_xla, params, H, W, K, c2w, key, EvalMode.FULL_NERF)
+        b = render_image(p_pal, params, H, W, K, c2w, key, EvalMode.FULL_NERF)
+        assert b["depth_net_rgb_map"].shape == (H, W, 3)
+        err = np.abs(
+            np.asarray(a["depth_net_rgb_map"]) - np.asarray(b["depth_net_rgb_map"])
+        )
+        assert float(err.mean()) < 0.01, float(err.mean())  # bf16 budget
