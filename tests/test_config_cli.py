@@ -111,3 +111,26 @@ class TestCliHelp:
         m = importlib.import_module(f"nerf_sampling_tpu.experiments.{mod}")
         result = CliRunner().invoke(m.main, ["--help"])
         assert result.exit_code == 0, result.output
+
+
+class TestLegacyCliBuildConfig:
+    def test_file_plus_flags_merge(self, tmp_path):
+        from nerf_sampling_tpu.experiments.legacy_run import build_config, config_parser
+
+        txt = tmp_path / "cfg.txt"
+        txt.write_text(
+            "expname = exp_from_file\n"
+            "dataset_type = blender\n"
+            "N_samples = 64\n"
+            "N_importance = 128\n"
+            "half_res = True\n"
+        )
+        args = config_parser().parse_args(
+            ["--config_path", str(txt), "--N_samples", "32", "--datadir", "/tmp/x"]
+        )
+        cfg = build_config(args)
+        assert cfg.expname == "exp_from_file"  # file value kept
+        assert cfg.N_samples == 32  # CLI override wins
+        assert cfg.N_importance == 128  # file value kept (CLI default)
+        assert cfg.datadir == "/tmp/x"
+        assert cfg.train_mode == "nerf"  # legacy CLI trains vanilla NeRF
