@@ -113,26 +113,37 @@ def _exclusive_cumprod_axis0(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(row == 0, 1.0, y)
 
 
-def _kernel(cfg, dtype, n_samples, near, far, white_bkgd, refs):
-    rays_ref, F_ref, P_ref = refs[0], refs[1], refs[2]
+def _kernel(cfg, dtype, n_samples, near, far, white_bkgd, around_center, refs):
+    if around_center:
+        rays_ref, off_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
+        wrefs = refs[4:-1]
+    else:
+        rays_ref, F_ref, P_ref = refs[0], refs[1], refs[2]
+        off_ref = None
+        wrefs = refs[3:-1]
     out_ref = refs[-1]
-    wrefs = refs[3:-1]
 
     acc = jnp.float32
     R = rays_ref.shape[0]
     S = n_samples
 
-    rays = rays_ref[:]  # [R, 8]: o(3) | d(3) | pad(2)
+    rays = rays_ref[:]  # [R, 8]: o(3) | d(3) | z_center(1) | pad(1)
     o = rays[:, 0:3]
     d = rays[:, 3:6]
     d_norm = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))  # [R, 1]
     viewdirs = d / d_norm
 
-    # z values: stratified midpoint-free linspace (eval: perturb=0),
-    # reference Trainer.py:604-610
-    srow = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0).astype(acc)
-    t_vals = srow / (S - 1)
-    z = near * (1.0 - t_vals) + far * t_vals  # [S, R] (same per ray)
+    if around_center:
+        # DepthNet populate mode: z = clip(center + static offsets, near, far)
+        # (reference sample_points_around_mean "uniform",
+        # nerf_pytorch/utils.py:231-240; offsets precomputed sorted on host)
+        center = rays[:, 6][None, :]  # [1, R]
+        z = jnp.clip(center + off_ref[:][:, 0][:, None], near, far)  # [S, R]
+    else:
+        # z values: stratified linspace (eval: perturb=0), Trainer.py:604-610
+        srow = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0).astype(acc)
+        t_vals = srow / (S - 1)
+        z = near * (1.0 - t_vals) + far * t_vals  # [S, R] (same per ray)
 
     # The MLP runs over sample-chunks (SC*R rows each) so its activations
     # never hold all S samples at once: the [S*R, 256] versions blew the
@@ -157,8 +168,11 @@ def _kernel(cfg, dtype, n_samples, near, far, white_bkgd, refs):
     sigma = jnp.concatenate(sigma_parts, axis=0)  # [S, R]
 
     # dists: z[s+1]-z[s], 1e10 tail, scaled by |d| (sampling_trainer.py:177-182)
-    dz = (far - near) / (S - 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0)
+    if S > 1:
+        dz = pltpu.roll(z, S - 1, 0) - z  # z[s+1]-z[s]; only rows < S-1 used
+    else:
+        dz = z  # unused: the S==1 row takes the 1e10 tail below
     dists = jnp.where(row == S - 1, 1e10, dz) * d_norm[:, 0][None, :]
 
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)  # [S, R]
@@ -196,15 +210,18 @@ def _kernel(cfg, dtype, n_samples, near, far, white_bkgd, refs):
         "interpret",
     ),
 )
-def _call(rays, F, P, packed_flat, cfg, dtype, n_samples, near, far,
+def _call(rays, offsets, F, P, packed_flat, cfg, dtype, n_samples, near, far,
           white_bkgd, tile, interpret):
-    def kern(*refs):
-        _kernel(cfg, dtype, n_samples, near, far, white_bkgd, refs)
+    around_center = offsets is not None
 
+    def kern(*refs):
+        _kernel(cfg, dtype, n_samples, near, far, white_bkgd, around_center, refs)
+
+    consts = ((offsets,) if around_center else ()) + (F, P) + tuple(packed_flat)
     const_specs = [
         pl.BlockSpec(w.shape, lambda i, nd=len(w.shape): (0,) * nd,
                      memory_space=pltpu.VMEM)
-        for w in (F, P, *packed_flat)
+        for w in consts
     ]
     return pl.pallas_call(
         kern,
@@ -217,7 +234,7 @@ def _call(rays, F, P, packed_flat, cfg, dtype, n_samples, near, far,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, rays.shape[0]), jnp.float32),
         interpret=interpret,
-    )(rays, F, P, *packed_flat)
+    )(rays, *consts)
 
 
 def fused_render(
@@ -258,8 +275,81 @@ def fused_render(
         _flatten_packed(pack_nerf_params(params, cfg, multires, multires_views, dtype))
     )
     out = _call(
-        rays, F, P, packed_flat, cfg, dtype, n_samples, float(near), float(far),
-        bool(white_bkgd), tile, interpret,
+        rays, None, F, P, packed_flat, cfg, dtype, n_samples, float(near),
+        float(far), bool(white_bkgd), tile, interpret,
+    )[:, :n]
+    return {
+        "rgb_map": out[0:3].T,
+        "disp_map": out[3],
+        "acc_map": out[4],
+        "depth_map": out[5],
+    }
+
+
+def uniform_population_offsets(n_samples: int, std: float):
+    """The reference's uniform depth-population offsets, precomputed.
+
+    sample_points_around_mean(mode="uniform") builds
+    sorted(cat([mean + linspace(-std, std, n-1), mean])) clipped to [2, 6]
+    (nerf_pytorch/utils.py:231-240) — i.e. mean + sorted(grid U {0}).
+    """
+    import numpy as np
+
+    if n_samples < 2:
+        return np.zeros((1, 1), np.float32)
+    grid = np.linspace(-std, std, n_samples - 1)
+    offs = np.sort(np.concatenate([grid, [0.0]]))
+    return offs.astype(np.float32).reshape(n_samples, 1)
+
+
+def fused_render_around_depth(
+    params: dict,
+    cfg: NeRFConfig,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    depth: jnp.ndarray,
+    *,
+    n_samples: int = 64,
+    std: float = 0.5,
+    clip_near: float = 2.0,
+    clip_far: float = 6.0,
+    white_bkgd: bool = True,
+    multires: int = 10,
+    multires_views: int = 4,
+    dtype=jnp.bfloat16,
+    tile: int = _RAYS_PER_TILE,
+    interpret: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """DepthNet populate-and-shade in one fused kernel.
+
+    z values are the reference's uniform population around the predicted
+    depth (sample_points_around_mean, clipped to the hardcoded [2, 6]);
+    shading matches the composable DEPTH_NET eval path up to kernel dtype.
+
+    depth: [N, 1] or [N] DepthNet predictions.
+    """
+    if n_samples & (n_samples - 1):
+        raise ValueError("n_samples must be a power of two (cumprod scan)")
+    n = rays_o.shape[0]
+    rays = jnp.zeros((n, 8), jnp.float32)
+    rays = rays.at[:, 0:3].set(rays_o.astype(jnp.float32))
+    rays = rays.at[:, 3:6].set(rays_d.astype(jnp.float32))
+    rays = rays.at[:, 6].set(depth.reshape(-1).astype(jnp.float32))
+    pad = (-n) % tile
+    if pad:
+        padding = (
+            jnp.zeros((pad, 8), jnp.float32).at[:, 5].set(-1.0).at[:, 6].set(4.0)
+        )
+        rays = jnp.concatenate([rays, padding], 0)
+
+    offsets = jnp.asarray(uniform_population_offsets(n_samples, std))
+    F, P = _pe_matrices(multires, multires_views)
+    packed_flat = tuple(
+        _flatten_packed(pack_nerf_params(params, cfg, multires, multires_views, dtype))
+    )
+    out = _call(
+        rays, offsets, F, P, packed_flat, cfg, dtype, n_samples,
+        float(clip_near), float(clip_far), bool(white_bkgd), tile, interpret,
     )[:, :n]
     return {
         "rgb_map": out[0:3].T,

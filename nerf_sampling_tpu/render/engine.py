@@ -466,12 +466,17 @@ def render_image(
     key: jax.Array,
     mode: EvalMode = EvalMode.DEPTH_NET,
     chunk: int = 1024 * 32,
+    full_outputs: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Render a full image: rays -> tiled eval -> [H, W, ...] maps.
 
     The reference's host-side batchify loop (nerf_utils.py:58-85) becomes a
     ``lax.map`` over fixed-size tiles inside one jit program: static shapes,
     no host round-trips, XLA overlaps tile DMA with compute.
+
+    full_outputs forces the composable path (per-sample pts/weights for
+    scene-data export); otherwise eligible modes take the fused-kernel fast
+    paths, which return map-level outputs only.
     """
     rays_o, rays_d = get_rays(H, W, K, c2w)
     focal = K[0][0]
@@ -479,14 +484,58 @@ def render_image(
     # Fast path: the fully-fused render kernel covers deterministic
     # coarse-only FULL_NERF eval (bench.py's 64-query budget) end to end —
     # one kernel, no XLA-side sampling/compositing.
-    if (
-        mode == EvalMode.FULL_NERF
+    fast_ok = (
+        not full_outputs
         and pipeline.mlp_impl == "pallas"
-        and pipeline.N_importance == 0
         and pipeline.use_viewdirs
         and not pipeline.ndc
-        and not pipeline.lindisp  # kernel computes linear-in-depth z only
+        and not pipeline.lindisp  # kernels compute linear-in-depth z only
         and pipeline.i_embed != -1
+    )
+
+    if (
+        fast_ok
+        and mode == EvalMode.DEPTH_NET
+        and pipeline.sampling_mode == "uniform"
+        and pipeline.n_depth_samples & (pipeline.n_depth_samples - 1) == 0
+        and pipeline.n_depth_samples > 1
+    ):
+        from nerf_sampling_tpu.kernels import fused_depth_net_apply
+        from nerf_sampling_tpu.kernels.fused_render import fused_render_around_depth
+
+        interpret = jax.default_backend() == "cpu"
+        ro_flat = rays_o.reshape(-1, 3)
+        rd_flat = rays_d.reshape(-1, 3)
+        depth = fused_depth_net_apply(
+            params.depth, pipeline.depth, ro_flat, rd_flat, interpret=interpret
+        )
+        nerf_params = params.fine if params.fine is not None else params.coarse
+        nerf_cfg = pipeline.fine if params.fine is not None else pipeline.nerf
+        maps = fused_render_around_depth(
+            nerf_params,
+            nerf_cfg,
+            ro_flat,
+            rd_flat,
+            depth,
+            n_samples=pipeline.n_depth_samples,
+            std=pipeline.distance,
+            white_bkgd=pipeline.white_bkgd,
+            multires=pipeline.multires,
+            multires_views=pipeline.multires_views,
+            interpret=interpret,
+        )
+        return {
+            "depth_net_rgb_map": maps["rgb_map"].reshape(H, W, 3),
+            "depth_net_disp_map": maps["disp_map"].reshape(H, W),
+            "depth_net_weights": maps["acc_map"].reshape(H, W),
+            "depth_net_z_vals": maps["depth_map"].reshape(H, W),
+            "depth_net_pts": jnp.zeros((H, W, 0, 3)),
+        }
+
+    if (
+        fast_ok
+        and mode == EvalMode.FULL_NERF
+        and pipeline.N_importance == 0
         and pipeline.N_samples & (pipeline.N_samples - 1) == 0
     ):
         from nerf_sampling_tpu.kernels.fused_render import fused_render

@@ -68,6 +68,9 @@ def render_path(
             jax.random.fold_in(key, i),
             mode=mode,
             chunk=chunk,
+            # scene-data export needs per-sample pts/weights, which the
+            # fused fast paths do not materialize
+            full_outputs=save_scene_data,
         )
         rgb = np.asarray(maps["depth_net_rgb_map"])
         disp = np.asarray(maps["depth_net_disp_map"])

@@ -119,3 +119,47 @@ class TestFastPathDispatch:
             np.asarray(a["depth_net_rgb_map"]) - np.asarray(b["depth_net_rgb_map"])
         )
         assert float(err.mean()) < 0.01, float(err.mean())  # bf16 budget
+
+
+class TestFusedRenderAroundDepth:
+    def test_matches_depth_net_eval_path(self, rng):
+        """Populate-and-shade kernel vs sample_points_around_mean + MLP +
+        raw2outputs (the DEPTH_NET eval mode, reference nerf_utils.py:837-865)."""
+        from nerf_sampling_tpu.core.sampling import sample_points_around_mean
+        from nerf_sampling_tpu.kernels.fused_render import fused_render_around_depth
+
+        cfg = NeRFConfig(
+            D=8, W=256, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(4,), use_viewdirs=True,
+        )
+        params = nerf_init(jax.random.PRNGKey(0), cfg)
+        ro, rd = make_rays(150, rng)
+        depth = jnp.asarray(
+            rng.uniform(2.5, 5.5, (150, 1)).astype(np.float32)
+        )
+        n, std = 16, 0.5
+        got = fused_render_around_depth(
+            params, cfg, ro, rd, depth, n_samples=n, std=std,
+            dtype=jnp.float32, interpret=True,
+        )
+        pts, z = sample_points_around_mean(
+            ro, rd, depth, n_samples=n, mode="uniform", std=std
+        )
+        vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        emb = jnp.concatenate(
+            [
+                positional_encoding(pts, 10),
+                jnp.broadcast_to(
+                    positional_encoding(vd, 4)[:, None, :], (*pts.shape[:2], 27)
+                ),
+            ],
+            -1,
+        )
+        want = raw2outputs(nerf_apply(params, cfg, emb), z, rd, 0.0, True)
+        np.testing.assert_allclose(
+            np.asarray(got["rgb_map"]), np.asarray(want.rgb_map), rtol=3e-4, atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["depth_map"]), np.asarray(want.depth_map),
+            rtol=3e-4, atol=3e-4,
+        )
