@@ -63,7 +63,7 @@ from nerf_sampling_tpu.utils.config import (
               help="Frequency of log printing.")
 @click.option("--n_iters", default=100_000, show_default=True,
               help="Training iterations.")
-@click.option("--mode", "train_mode", type=click.Choice(["depth_net", "nerf"]),
+@click.option("--mode", "train_mode", type=click.Choice(["depth_net", "nerf", "joint"]),
               default="depth_net", show_default=True,
               help="depth_net: train DepthNet vs frozen NeRF; nerf: pretrain NeRF.")
 @click.option("--basedir", default="./logs", show_default=True)

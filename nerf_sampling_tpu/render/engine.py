@@ -341,6 +341,44 @@ def render_rays_train(
     }
 
 
+def render_rays_joint(
+    pipeline: Pipeline,
+    params: NeRFParams,
+    rays: RayBatch,
+    key: jax.Array,
+) -> dict[str, jnp.ndarray]:
+    """Joint renderer: one hierarchical pass feeding BOTH objectives.
+
+    Returns the vanilla NeRF maps (fine rgb + coarse rgb0) and the DepthNet
+    maps/targets from the same sampling pass — enabling the joint training
+    mode the reference intended but never wired (its NeRF optimizer is
+    created, decayed, checkpointed, yet never stepped; SURVEY.md defect #4).
+    """
+    k_nerf, k_noise = jax.random.split(key)
+    hier = sample_as_in_nerf(pipeline, params, rays, k_nerf)
+    max_z, max_pts, _ = _argmax_depth(hier.fine, hier.fine_z_vals, rays)
+    max_z = jax.lax.stop_gradient(max_z)
+
+    depth_z = depth_net_apply(params.depth, pipeline.depth, rays.rays_o, rays.rays_d)
+    depth_pts = z_to_points(rays.rays_o, rays.rays_d, depth_z)
+    depth_raw = _query_fine_or_coarse(pipeline, params, depth_pts, rays, force_xla=True)
+    out = raw2outputs(
+        depth_raw,
+        depth_z,
+        rays.rays_d,
+        pipeline.raw_noise_std,
+        pipeline.white_bkgd,
+        key=k_noise,
+    )
+    return {
+        "rgb_map": hier.fine.rgb_map,
+        "rgb0": hier.coarse.rgb_map,
+        "depth_net_rgb_map": out.rgb_map,
+        "depth_net_z_vals": depth_z,
+        "max_z_vals": max_z,
+    }
+
+
 def render_rays_vanilla(
     pipeline: Pipeline,
     params: NeRFParams,

@@ -29,6 +29,7 @@ from nerf_sampling_tpu.render.engine import (
     Pipeline,
     RayBatch,
     make_ray_batch,
+    render_rays_joint,
     render_rays_train,
     render_rays_vanilla,
 )
@@ -147,3 +148,71 @@ def make_nerf_train_step(
         return TrainState(nerf_state.step + 1, new_params, opt_state), metrics
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_joint_train_step(
+    pipeline: Pipeline,
+    nerf_optimizer: optax.GradientTransformation,
+    depth_optimizer: optax.GradientTransformation,
+) -> Callable:
+    """Build the jitted JOINT train step: NeRF and DepthNet both optimize.
+
+    This is the capability the reference intended but never wired (its NeRF
+    optimizer is created, lr-decayed, and checkpointed but never stepped —
+    SURVEY.md §2 defect #4). Losses:
+
+        nerf:  img2mse(fine_rgb, target) + img2mse(coarse_rgb, target)
+               (+ the photometric term of the DepthNet render, whose
+                gradient reaches the NeRF through the depth-point query)
+        depth: img2mse(depth_rgb, target) + mse(depth_z, stop_grad(max_z))
+
+    The step takes (nerf_state, depth_state, batch, key) and returns
+    (new_nerf_state, new_depth_state, metrics). Always the XLA MLP path
+    (both param sets are gradient targets).
+    """
+    import dataclasses
+
+    if pipeline.mlp_impl != "xla":
+        pipeline = dataclasses.replace(pipeline, mlp_impl="xla")
+
+    def step(
+        nerf_state: TrainState,  # params: NeRFParams(coarse, fine, None)
+        depth_state: TrainState,  # params: depth pytree
+        batch,
+        key: jax.Array,
+    ):
+        rays, target = _unpack_batch(pipeline, batch)
+
+        def loss_fn(nerf_params: NeRFParams, depth_params):
+            params = nerf_params._replace(depth=depth_params)
+            out = render_rays_joint(pipeline, params, rays, key)
+            img_loss = img2mse(out["rgb_map"], target)
+            img_loss0 = img2mse(out["rgb0"], target)
+            depth_img_loss = img2mse(out["depth_net_rgb_map"], target)
+            depth_loss = img2mse(out["depth_net_z_vals"], out["max_z_vals"])
+            total = img_loss + img_loss0 + depth_img_loss + depth_loss
+            return total, (img_loss, depth_img_loss, depth_loss)
+
+        (ng, dg), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            nerf_state.params, depth_state.params
+        )
+        img_loss, depth_img_loss, depth_loss = aux
+
+        nu, n_opt = nerf_optimizer.update(ng, nerf_state.opt_state, nerf_state.params)
+        new_nerf = optax.apply_updates(nerf_state.params, nu)
+        du, d_opt = depth_optimizer.update(dg, depth_state.opt_state, depth_state.params)
+        new_depth = optax.apply_updates(depth_state.params, du)
+
+        metrics = {
+            "loss": img_loss + depth_img_loss,
+            "img_loss": img_loss,
+            "depth_net_loss": depth_loss,
+            "psnr": mse2psnr(img_loss),
+        }
+        return (
+            TrainState(nerf_state.step + 1, new_nerf, n_opt),
+            TrainState(depth_state.step + 1, new_depth, d_opt),
+            metrics,
+        )
+
+    return jax.jit(step, donate_argnums=(0, 1))

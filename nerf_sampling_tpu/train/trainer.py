@@ -31,6 +31,7 @@ from nerf_sampling_tpu.train.state import (
 )
 from nerf_sampling_tpu.train.steps import (
     make_depth_net_train_step,
+    make_joint_train_step,
     make_nerf_train_step,
 )
 from nerf_sampling_tpu.utils.config import TrainerConfig
@@ -133,7 +134,7 @@ class Trainer:
 
     def setup_models(self) -> None:
         cfg = self.cfg
-        with_depth = cfg.train_mode == "depth_net"
+        with_depth = cfg.train_mode in ("depth_net", "joint")
         self.pipeline = cfg.pipeline(with_depth=with_depth)
         params = self._init_params()
         self._resume_ckpt_path: str | None = None
@@ -226,12 +227,19 @@ class Trainer:
             seed=cfg.seed,
         )
 
+        depth_state = None
         if cfg.train_mode == "depth_net":
             optimizer = make_depth_optimizer(cfg.depth_net_lr)
             state = init_state(self.params.depth, optimizer, self.start)
             step_fn = make_depth_net_train_step(
                 self.pipeline, optimizer, frozen_nerf=self.params
             )
+        elif cfg.train_mode == "joint":
+            optimizer = make_nerf_optimizer(cfg.lrate, cfg.lrate_decay)
+            depth_opt = make_depth_optimizer(cfg.depth_net_lr)
+            state = init_state(self.params._replace(depth=None), optimizer, self.start)
+            depth_state = init_state(self.params.depth, depth_opt, self.start)
+            step_fn = make_joint_train_step(self.pipeline, optimizer, depth_opt)
         else:
             optimizer = make_nerf_optimizer(cfg.lrate, cfg.lrate_decay)
             state = init_state(
@@ -282,6 +290,9 @@ class Trainer:
             if cfg.train_mode == "depth_net":
                 state, metrics = step_fn(state, batch, key)
                 self.params = frozen_nerf._replace(depth=state.params)
+            elif cfg.train_mode == "joint":
+                state, depth_state, metrics = step_fn(state, depth_state, batch, key)
+                self.params = state.params._replace(depth=depth_state.params)
             else:
                 state, metrics = step_fn(state, batch, key)
                 self.params = state.params._replace(depth=None)

@@ -88,7 +88,7 @@ class TrainerConfig:
     # optimization
     lrate: float = 5e-4
     lrate_decay: int = 250
-    train_mode: str = "depth_net"  # "depth_net" | "nerf" (vanilla pretraining)
+    train_mode: str = "depth_net"  # "depth_net" | "nerf" (vanilla) | "joint" (both)
 
     # checkpoints
     ft_path: str | None = None

@@ -297,3 +297,46 @@ class TestTrainerE2E:
         out_dir = os.path.join(t3.expdir, "renderonly_test_000020")
         assert os.path.exists(os.path.join(out_dir, "000.png"))
         assert os.path.exists(os.path.join(out_dir, "psnr.txt"))
+
+
+class TestJointTraining:
+    def test_joint_step_updates_both(self):
+        """Both NeRF and DepthNet must change under the joint step (the
+        reference's NeRF optimizer never stepped; SURVEY.md defect #4)."""
+        from nerf_sampling_tpu.train.steps import make_joint_train_step
+
+        p = tiny_pipeline()
+        params = tiny_bundle(p)
+        nopt = make_nerf_optimizer(1e-3, 250)
+        dopt = make_depth_optimizer(1e-3)
+        ns = init_state(params._replace(depth=None), nopt)
+        ds = init_state(params.depth, dopt)
+        step = make_joint_train_step(p, nopt, dopt)
+        ro = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), (16, 1))
+        rd = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-0.2, maxval=0.2)
+        rd = rd.at[:, 2].set(-1.0)
+        rays = make_ray_batch(p, ro, rd)
+        target = jnp.full((16, 3), 0.5)
+        before_n = jax.tree.map(lambda x: np.asarray(x).copy(), ns.params)
+        before_d = jax.tree.map(lambda x: np.asarray(x).copy(), ds.params)
+        ns2, ds2, m = step(ns, ds, (rays, target), jax.random.PRNGKey(0))
+        assert not trees_equal(before_n, ns2.params)
+        assert not trees_equal(before_d, ds2.params)
+        for k in ("loss", "img_loss", "depth_net_loss", "psnr"):
+            assert np.isfinite(float(m[k])), k
+
+    def test_trainer_joint_mode(self, tmp_path):
+        datadir = generate_example_dataset(
+            str(tmp_path / "data"), H=20, W=20, n_train=3, n_val=1, n_test=1
+        )
+        cfg = TrainerConfig(
+            dataset_type="blender", datadir=datadir, basedir=str(tmp_path / "logs"),
+            expname="joint", train_mode="joint", half_res=False, testskip=1,
+            N_rand=32, N_samples=8, N_importance=8, netdepth=3, netwidth=32,
+            netdepth_fine=3, netwidth_fine=32, n_layers=2, layer_width=16,
+            i_print=10, i_weights=10, i_testset=10**9, i_video=10**9,
+        )
+        t = Trainer(cfg)
+        psnr = t.train(N_iters=11)
+        assert np.isfinite(psnr)
+        assert os.path.exists(os.path.join(t.expdir, "000010.npz"))
