@@ -113,13 +113,18 @@ def _exclusive_cumprod_axis0(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(row == 0, 1.0, y)
 
 
-def _kernel(cfg, dtype, n_samples, near, far, white_bkgd, around_center, refs):
-    if around_center:
-        rays_ref, off_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
+def _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source, refs):
+    """z_source: "linspace" | "around_center" (static offsets input) |
+    "input" (pre-transposed [S, N] z-values input)."""
+    if z_source == "around_center":
+        rays_ref, z_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
+        wrefs = refs[4:-1]
+    elif z_source == "input":
+        rays_ref, z_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
         wrefs = refs[4:-1]
     else:
         rays_ref, F_ref, P_ref = refs[0], refs[1], refs[2]
-        off_ref = None
+        z_ref = None
         wrefs = refs[3:-1]
     out_ref = refs[-1]
 
@@ -133,12 +138,14 @@ def _kernel(cfg, dtype, n_samples, near, far, white_bkgd, around_center, refs):
     d_norm = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))  # [R, 1]
     viewdirs = d / d_norm
 
-    if around_center:
+    if z_source == "around_center":
         # DepthNet populate mode: z = clip(center + static offsets, near, far)
         # (reference sample_points_around_mean "uniform",
         # nerf_pytorch/utils.py:231-240; offsets precomputed sorted on host)
         center = rays[:, 6][None, :]  # [1, R]
-        z = jnp.clip(center + off_ref[:][:, 0][:, None], near, far)  # [S, R]
+        z = jnp.clip(center + z_ref[:][:, 0][:, None], near, far)  # [S, R]
+    elif z_source == "input":
+        z = z_ref[:]  # [S, R] block of the caller's pre-transposed z values
     else:
         # z values: stratified linspace (eval: perturb=0), Trainer.py:604-610
         srow = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0).astype(acc)
@@ -207,17 +214,29 @@ def _kernel(cfg, dtype, n_samples, near, far, white_bkgd, around_center, refs):
     jax.jit,
     static_argnames=(
         "cfg", "dtype", "n_samples", "near", "far", "white_bkgd", "tile",
-        "interpret",
+        "interpret", "z_source",
     ),
 )
-def _call(rays, offsets, F, P, packed_flat, cfg, dtype, n_samples, near, far,
-          white_bkgd, tile, interpret):
-    around_center = offsets is not None
-
+def _call(rays, z_arg, F, P, packed_flat, cfg, dtype, n_samples, near, far,
+          white_bkgd, tile, interpret, z_source="linspace"):
     def kern(*refs):
-        _kernel(cfg, dtype, n_samples, near, far, white_bkgd, around_center, refs)
+        _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source, refs)
 
-    consts = ((offsets,) if around_center else ()) + (F, P) + tuple(packed_flat)
+    in_arrays = [rays]
+    in_specs = [pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    if z_source == "around_center":
+        in_arrays.append(z_arg)  # static offsets [S, 1]
+        in_specs.append(
+            pl.BlockSpec(z_arg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    elif z_source == "input":
+        in_arrays.append(z_arg)  # pre-transposed z [S, N]
+        in_specs.append(
+            pl.BlockSpec(
+                (z_arg.shape[0], tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+        )
+    consts = (F, P) + tuple(packed_flat)
     const_specs = [
         pl.BlockSpec(w.shape, lambda i, nd=len(w.shape): (0,) * nd,
                      memory_space=pltpu.VMEM)
@@ -226,15 +245,12 @@ def _call(rays, offsets, F, P, packed_flat, cfg, dtype, n_samples, near, far,
     return pl.pallas_call(
         kern,
         grid=(rays.shape[0] // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        + const_specs,
+        in_specs=in_specs + const_specs,
         out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, rays.shape[0]), jnp.float32),
         interpret=interpret,
-    )(rays, *consts)
+    )(rays, *in_arrays[1:], *consts)
 
 
 def fused_render(
@@ -350,6 +366,59 @@ def fused_render_around_depth(
     out = _call(
         rays, offsets, F, P, packed_flat, cfg, dtype, n_samples,
         float(clip_near), float(clip_far), bool(white_bkgd), tile, interpret,
+        z_source="around_center",
+    )[:, :n]
+    return {
+        "rgb_map": out[0:3].T,
+        "disp_map": out[3],
+        "acc_map": out[4],
+        "depth_map": out[5],
+    }
+
+
+def fused_shade(
+    params: dict,
+    cfg: NeRFConfig,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    *,
+    white_bkgd: bool = True,
+    multires: int = 10,
+    multires_views: int = 4,
+    dtype=jnp.bfloat16,
+    tile: int = _RAYS_PER_TILE,
+    interpret: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """Shade externally-computed z values in the fused kernel.
+
+    Covers any z distribution (gaussian depth population, hierarchical fine
+    samples, ...) — the caller does the sampling in XLA, the kernel does
+    PE + MLP + compositing. z_vals: [N, S], S a power of two.
+    """
+    n, S = z_vals.shape
+    if S & (S - 1):
+        raise ValueError("S must be a power of two (cumprod scan)")
+    rays = jnp.zeros((n, 8), jnp.float32)
+    rays = rays.at[:, 0:3].set(rays_o.astype(jnp.float32))
+    rays = rays.at[:, 3:6].set(rays_d.astype(jnp.float32))
+    z_t = z_vals.astype(jnp.float32).T  # [S, N]: sample-major for the kernel
+    pad = (-n) % tile
+    if pad:
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((pad, 8), jnp.float32).at[:, 5].set(-1.0)], 0
+        )
+        z_t = jnp.concatenate(
+            [z_t, jnp.broadcast_to(jnp.linspace(2.0, 6.0, S)[:, None], (S, pad))], 1
+        )
+
+    F, P = _pe_matrices(multires, multires_views)
+    packed_flat = tuple(
+        _flatten_packed(pack_nerf_params(params, cfg, multires, multires_views, dtype))
+    )
+    out = _call(
+        rays, z_t, F, P, packed_flat, cfg, dtype, S, 2.0, 6.0,
+        bool(white_bkgd), tile, interpret, z_source="input",
     )[:, :n]
     return {
         "rgb_map": out[0:3].T,

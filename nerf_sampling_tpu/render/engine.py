@@ -534,12 +534,15 @@ def render_image(
     if (
         fast_ok
         and mode == EvalMode.DEPTH_NET
-        and pipeline.sampling_mode == "uniform"
+        and pipeline.sampling_mode in ("uniform", "gaussian")
         and pipeline.n_depth_samples & (pipeline.n_depth_samples - 1) == 0
         and pipeline.n_depth_samples > 1
     ):
         from nerf_sampling_tpu.kernels import fused_depth_net_apply
-        from nerf_sampling_tpu.kernels.fused_render import fused_render_around_depth
+        from nerf_sampling_tpu.kernels.fused_render import (
+            fused_render_around_depth,
+            fused_shade,
+        )
 
         interpret = jax.default_backend() == "cpu"
         ro_flat = rays_o.reshape(-1, 3)
@@ -549,19 +552,41 @@ def render_image(
         )
         nerf_params = params.fine if params.fine is not None else params.coarse
         nerf_cfg = pipeline.fine if params.fine is not None else pipeline.nerf
-        maps = fused_render_around_depth(
-            nerf_params,
-            nerf_cfg,
-            ro_flat,
-            rd_flat,
-            depth,
-            n_samples=pipeline.n_depth_samples,
-            std=pipeline.distance,
-            white_bkgd=pipeline.white_bkgd,
-            multires=pipeline.multires,
-            multires_views=pipeline.multires_views,
-            interpret=interpret,
-        )
+        if pipeline.sampling_mode == "uniform":
+            maps = fused_render_around_depth(
+                nerf_params,
+                nerf_cfg,
+                ro_flat,
+                rd_flat,
+                depth,
+                n_samples=pipeline.n_depth_samples,
+                std=pipeline.distance,
+                white_bkgd=pipeline.white_bkgd,
+                multires=pipeline.multires,
+                multires_views=pipeline.multires_views,
+                interpret=interpret,
+            )
+        else:  # gaussian: XLA draws + sorts the z values, the kernel shades
+            _, z_vals = sample_points_around_mean(
+                ro_flat,
+                rd_flat,
+                depth,
+                n_samples=pipeline.n_depth_samples,
+                mode="gaussian",
+                std=pipeline.distance,
+                key=key,
+            )
+            maps = fused_shade(
+                nerf_params,
+                nerf_cfg,
+                ro_flat,
+                rd_flat,
+                z_vals,
+                white_bkgd=pipeline.white_bkgd,
+                multires=pipeline.multires,
+                multires_views=pipeline.multires_views,
+                interpret=interpret,
+            )
         return {
             "depth_net_rgb_map": maps["rgb_map"].reshape(H, W, 3),
             "depth_net_disp_map": maps["disp_map"].reshape(H, W),

@@ -163,3 +163,41 @@ class TestFusedRenderAroundDepth:
             np.asarray(got["depth_map"]), np.asarray(want.depth_map),
             rtol=3e-4, atol=3e-4,
         )
+
+
+class TestFusedShade:
+    def test_shades_arbitrary_z(self, rng):
+        """fused_shade must match nerf_apply + raw2outputs for caller-supplied
+        (e.g. gaussian-populated or hierarchical) z values."""
+        from nerf_sampling_tpu.kernels.fused_render import fused_shade
+
+        cfg = NeRFConfig(
+            D=8, W=256, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(4,), use_viewdirs=True,
+        )
+        params = nerf_init(jax.random.PRNGKey(0), cfg)
+        ro, rd = make_rays(140, rng)
+        z = jnp.sort(
+            jnp.asarray(rng.uniform(2.0, 6.0, (140, 16)).astype(np.float32)), axis=-1
+        )
+        got = fused_shade(
+            params, cfg, ro, rd, z, dtype=jnp.float32, interpret=True
+        )
+        pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+        vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        emb = jnp.concatenate(
+            [
+                positional_encoding(pts, 10),
+                jnp.broadcast_to(
+                    positional_encoding(vd, 4)[:, None, :], (*pts.shape[:2], 27)
+                ),
+            ],
+            -1,
+        )
+        want = raw2outputs(nerf_apply(params, cfg, emb), z, rd, 0.0, True)
+        np.testing.assert_allclose(
+            np.asarray(got["rgb_map"]), np.asarray(want.rgb_map), rtol=3e-4, atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["acc_map"]), np.asarray(want.acc_map), rtol=3e-4, atol=3e-4
+        )
