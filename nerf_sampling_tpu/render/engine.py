@@ -536,7 +536,9 @@ def render_image(
         and mode == EvalMode.DEPTH_NET
         and pipeline.sampling_mode in ("uniform", "gaussian")
         and pipeline.n_depth_samples & (pipeline.n_depth_samples - 1) == 0
-        and pipeline.n_depth_samples > 1
+        # S > 64 VMEM-OOMs the Mosaic compile (output-stack alloc); the
+        # composable path covers larger populations
+        and 1 < pipeline.n_depth_samples <= 64
     ):
         from nerf_sampling_tpu.kernels import fused_depth_net_apply
         from nerf_sampling_tpu.kernels.fused_render import (
@@ -600,6 +602,7 @@ def render_image(
         and mode == EvalMode.FULL_NERF
         and pipeline.N_importance == 0
         and pipeline.N_samples & (pipeline.N_samples - 1) == 0
+        and pipeline.N_samples <= 64
     ):
         from nerf_sampling_tpu.kernels.fused_render import fused_render
 
