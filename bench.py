@@ -8,22 +8,35 @@ DepthNet claims to replace), full-size 8x256 viewdirs NeRF, float32.
 (same math: 63/27-dim positional encoding -> 8x256 skip MLP -> alpha
 compositing, chunked eager execution as in reference nerf_utils.py:45-85 /
 Trainer.py:789-806) measured on this machine's CPU — the reference publishes
-no numbers and this box has no CUDA (BASELINE.md). The torch measurement is
-cached in BASELINE_MEASURED.json after the first run.
+no numbers and this box has no CUDA (BASELINE.md). NB this is a
+torch-CPU(-multithreaded eager) baseline, not a GPU one. The torch
+measurement is cached in BASELINE_MEASURED.json after the first run.
 
-Prints exactly one JSON line.
+Fault tolerance: the axon-tunneled TPU shows transient failures
+(FAILED_PRECONDITION during compile readback, chip-grant holds after a
+killed process — see RESULTS.md). The measurement therefore runs in a
+subprocess with retries + backoff so one transient cannot cost the round's
+perf artifact, and the jax persistent compilation cache is enabled so a
+retry does not pay the multi-minute remote AOT compile again.
+
+Prints exactly one JSON line on stdout (diagnostics go to stderr).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 H = W = 800
 N_SAMPLES = 64
 CHUNK = 1 << 17
-BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+_DIR = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(_DIR, "BASELINE_MEASURED.json")
+RETRIES = 3
+BACKOFF_S = 75  # > typical chip-grant hold after a killed TPU process
 
 
 def _measure_torch_baseline() -> float:
@@ -32,7 +45,6 @@ def _measure_torch_baseline() -> float:
         with open(BASELINE_CACHE) as f:
             return json.load(f)["torch_cpu_rays_per_sec"]
 
-    import numpy as np
     import torch
     import torch.nn.functional as F
 
@@ -137,7 +149,22 @@ def _measure_torch_baseline() -> float:
 
 def _measure_tpu() -> float:
     import jax
-    import jax.numpy as jnp
+
+    # Persistent compilation cache: a retried run must not pay the remote
+    # AOT compile (minutes on the axon backend) a second time.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.expanduser("~/.cache/nerf_sampling_tpu_jax"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] compilation cache unavailable: {e}", file=sys.stderr)
+
+    import numpy as np
 
     from nerf_sampling_tpu.models import nerf_init
     from nerf_sampling_tpu.render import EvalMode, NeRFParams, render_image
@@ -148,20 +175,23 @@ def _measure_tpu() -> float:
     params = NeRFParams(coarse=nerf_init(jax.random.PRNGKey(0), pipeline.nerf))
 
     focal = 0.5 * W / 0.3566  # tan(0.5 * camera_angle_x)
-    K = jnp.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]])
-    c2w = jnp.array([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.0]])
+    # Host-side constants: closing device arrays over a jit makes lowering
+    # read them back from the device (the BENCH_r01 failure mode).
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]], np.float32)
+    c2w = np.array([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.0]], np.float32)
 
     render = jax.jit(
         lambda prm, key: render_image(
             pipeline, prm, H, W, K, c2w, key, EvalMode.FULL_NERF, chunk=CHUNK
         )
     )
-    import numpy as np
 
     def sync(out):
         # NB: on the axon backend block_until_ready can return at enqueue;
         # only a device->host transfer guarantees completion.
         return float(np.asarray(out["depth_net_rgb_map"])[0, 0, 0])
+
+    import jax.numpy as jnp
 
     key = jax.random.PRNGKey(0)
     out = render(params, key)  # compile + warm up
@@ -180,11 +210,46 @@ def _measure_tpu() -> float:
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]
+    print(f"[bench] per-rep times (s): {[round(t, 3) for t in times]}", file=sys.stderr)
     return H * W / dt
 
 
+def _measure_tpu_with_retries() -> float:
+    """Run the TPU measurement in a subprocess, retrying transients.
+
+    A fresh process per attempt matters: a FAILED_PRECONDITION / wedged
+    runtime can poison the TPU client for the rest of the process, and a
+    killed attempt's chip grant needs the backoff to release.
+    """
+    last_tail = ""
+    for attempt in range(1, RETRIES + 1):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tpu-worker"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            cwd=_DIR,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("TPU_RAYS_PER_SEC="):
+                return float(line.split("=", 1)[1])
+        last_tail = (proc.stderr or "")[-2000:]
+        print(
+            f"[bench] TPU attempt {attempt}/{RETRIES} failed (rc={proc.returncode}); "
+            f"stderr tail:\n{last_tail}",
+            file=sys.stderr,
+        )
+        if attempt < RETRIES:
+            print(f"[bench] backing off {BACKOFF_S}s before retry", file=sys.stderr)
+            time.sleep(BACKOFF_S)
+    raise RuntimeError(f"TPU measurement failed after {RETRIES} attempts:\n{last_tail}")
+
+
 def main() -> None:
-    tpu_rays = _measure_tpu()
+    if "--tpu-worker" in sys.argv:
+        print(f"TPU_RAYS_PER_SEC={_measure_tpu()}")
+        return
+    tpu_rays = _measure_tpu_with_retries()
     torch_rays = _measure_torch_baseline()
     print(
         json.dumps(

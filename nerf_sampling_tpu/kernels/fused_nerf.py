@@ -53,6 +53,12 @@ def _pe_matrices(multires: int, multires_views: int):
       cols [0, 6*M):            pts  freq f: sin(x*2^f) dims 0..2, then cos
       cols [6*M, 6*M + 6*Mv):   dirs likewise
       remaining cols:           zero (F=0, P=0 -> sin(0)=0)
+
+    Returned as HOST numpy arrays on purpose: when this runs inside an
+    outer jit trace, a ``jnp.asarray`` here would eagerly commit a device
+    buffer that lowering must read back — a read that can fail on a wedged
+    remote backend (the BENCH_r01 FAILED_PRECONDITION). numpy constants
+    embed into the HLO without touching the device.
     """
     F = np.zeros((XDIM, PAD), np.float32)
     P = np.zeros((PAD,), np.float32)
@@ -64,7 +70,7 @@ def _pe_matrices(multires: int, multires_views: int):
                     F[base + dim, col] = 2.0**f
                     P[col] = phase
                     col += 1
-    return jnp.asarray(F), jnp.asarray(P)
+    return F, P
 
 
 def _split_emb_rows(w_emb, multires, multires_views, dtype):

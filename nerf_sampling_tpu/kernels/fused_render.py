@@ -358,7 +358,7 @@ def fused_render_around_depth(
         )
         rays = jnp.concatenate([rays, padding], 0)
 
-    offsets = jnp.asarray(uniform_population_offsets(n_samples, std))
+    offsets = uniform_population_offsets(n_samples, std)  # host constant
     F, P = _pe_matrices(multires, multires_views)
     packed_flat = tuple(
         _flatten_packed(pack_nerf_params(params, cfg, multires, multires_views, dtype))
