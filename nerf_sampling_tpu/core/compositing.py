@@ -6,9 +6,9 @@ concrete implementation in the reference). All epsilons (1e-10, 1e-5-free,
 1e10 tail distance) are reproduced exactly for PSNR parity.
 
 TPU notes: this whole function is elementwise + a cumprod + three reductions
-over the sample axis; XLA fuses it into a handful of VPU loops. A fused
-Pallas variant lives in nerf_sampling_tpu.kernels.compositing for the cases
-where we also fold it into the MLP epilogue.
+over the sample axis; XLA fuses it into a handful of VPU loops. The fully
+fused render kernels (nerf_sampling_tpu.kernels.fused_render) fold the same
+compositing math into the MLP epilogue for the eval fast paths.
 """
 
 from __future__ import annotations

@@ -118,7 +118,12 @@ def render_path(
                 all_weights.append(weights)
 
         if logger is not None:
-            logger.log_render(maps, i, step)
+            # ray geometry for the reference's 3D ray plots (log_wandb,
+            # nerf_utils.py:363-390); regenerated on host — eval cadence only
+            from nerf_sampling_tpu.core.rays import get_rays_np
+
+            ro, rd = get_rays_np(H, W, np.asarray(K), np.asarray(c2w[:3, :4]))
+            logger.log_render(maps, i, step, rays_o=ro, rays_d=rd)
 
     if save_scene_data and savedir is not None:
         scene_data = {

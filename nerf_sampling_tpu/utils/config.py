@@ -97,6 +97,8 @@ class TrainerConfig:
 
     # logging / eval cadence
     i_print: int = 100
+    i_img: int = 500  # accepted for reference flag parity (nerf_utils.py:1089);
+    # the reference itself never reads it in Trainer either
     i_weights: int = 10000
     i_testset: int = 20000
     i_video: int = 100000
