@@ -1,0 +1,295 @@
+"""Fused hierarchical eval kernel: coarse -> inverse-CDF -> fine, one pass.
+
+Covers the reference's deterministic hierarchical eval path end to end in a
+single Pallas program per ray tile (sample_as_in_NeRF at perturb=0:
+nerf_utils.py:497-611; sample_pdf det mode: run_nerf_helpers.py:250-293;
+argmax diagnostics: nerf_utils.py:689-691 / :813-829), i.e. the FULL_NERF /
+COMPARE_NERF / NERF_MAX eval modes with N_importance > 0 that round 1 left
+on the XLA-tile fallback.
+
+Per tile of R rays:
+  1. coarse z (linspace or lindisp) -> coarse MLP (sigma head only — eval
+     never reads coarse rgb) -> coarse weights.
+  2. det inverse-CDF of the coarse-weight PDF WITHOUT gathers: the CDF is
+     monotonic along samples, so "searchsorted" becomes two masked
+     overwrite sweeps over the bin rows (ascending for below, descending
+     for above), each a [N_importance, R] vector op per bin.
+  3. union z plane = [coarse rows | fine rows] in CONCAT order — exactly
+     the reference's stable sort key (sort(cat([z_vals, z_samples])) ties
+     break coarse-first) — then the fine MLP streams over it and the
+     order-free compositor (kernels.ops.unsorted_weights) produces
+     stable-sorted compositing without ever materializing the sort.
+  4. argmax-weight diagnostics (max_z / max_weight / argmax rgb) via
+     butterfly max + first-occurrence one-hot, gather-free.
+
+Output per ray: r g b disp acc depth max_z max_w max_r max_g max_b
+(+ pad) as a [16, R] block.
+
+Query budget per ray: n_coarse sigma-only + (n_coarse + n_importance) full
+— identical to the reference's 64 + 192 at the production operating point.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_sampling_tpu.kernels import ops
+from nerf_sampling_tpu.kernels.fused_nerf import (
+    _flatten_packed,
+    _pe_matrices,
+    pack_nerf_params,
+)
+from nerf_sampling_tpu.kernels.fused_render import (
+    _MAX_SAMPLES,
+    _RAYS_PER_TILE,
+    TPU_VMEM_LIMIT,
+    _mlp_plane_loop,
+    _pack_rays,
+)
+from nerf_sampling_tpu.models.nerf import NeRFConfig
+
+
+def _det_sample_pdf_sweep(cdf, mids, n_importance):
+    """Gather-free det-mode sample_pdf (run_nerf_helpers.py:250-293).
+
+    cdf: [B, R] monotonic per column (cdf[0] == 0, cdf[B-1] == 1);
+    mids: [B, R] bin positions (z midpoints). Returns fine z [Nf, R].
+
+    searchsorted(side="right") decomposes over the monotonic axis:
+      below = last j with cdf[j] <= u   (ascending masked overwrite)
+      above = first j with cdf[j] > u   (descending masked overwrite)
+    matching below=max(0, inds-1) / above=min(B-1, inds) exactly.
+    """
+    B, R = cdf.shape
+    Nf = n_importance
+    acc = jnp.float32
+    # det u = linspace(0, 1, Nf) broadcast over rays
+    u = jax.lax.broadcasted_iota(jnp.int32, (Nf, R), 0).astype(acc) / max(
+        Nf - 1, 1
+    )
+
+    cdf_below = jnp.broadcast_to(cdf[0:1], (Nf, R))
+    bin_below = jnp.broadcast_to(mids[0:1], (Nf, R))
+    for j in range(B):
+        cj, bj = cdf[j : j + 1], mids[j : j + 1]
+        m = cj <= u
+        cdf_below = jnp.where(m, cj, cdf_below)
+        bin_below = jnp.where(m, bj, bin_below)
+
+    cdf_above = jnp.broadcast_to(cdf[B - 1 : B], (Nf, R))
+    bin_above = jnp.broadcast_to(mids[B - 1 : B], (Nf, R))
+    for j in range(B - 1, -1, -1):
+        cj, bj = cdf[j : j + 1], mids[j : j + 1]
+        m = cj > u
+        cdf_above = jnp.where(m, cj, cdf_above)
+        bin_above = jnp.where(m, bj, bin_above)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_below) / denom
+    return bin_below + t * (bin_above - bin_below)
+
+
+def _kernel(
+    cfg_c,
+    cfg_f,
+    dtype,
+    n_coarse,
+    n_importance,
+    near,
+    far,
+    white_bkgd,
+    lindisp,
+    n_cw,
+    refs,
+    scratch,
+):
+    rays_ref, F_ref, P_ref = refs[0], refs[1], refs[2]
+    wrefs_c = refs[3 : 3 + n_cw]
+    wrefs_f = refs[3 + n_cw : -1]
+    out_ref = refs[-1]
+    zc_s, sigc_s, zu_s, sigma_s, r_s, g_s, b_s = scratch
+
+    acc = jnp.float32
+    R = rays_ref.shape[0]
+    Sc, Nf = n_coarse, n_importance
+    Su = Sc + Nf
+    w_c = ops.unpack_wrefs(cfg_c, wrefs_c)
+    w_f = ops.unpack_wrefs(cfg_f, wrefs_f)
+    F, P = F_ref[:], P_ref[:]
+
+    rays = rays_ref[:]  # [R, 8]: o(3) | d(3) | pad(2)
+    o = rays[:, 0:3]
+    d = rays[:, 3:6]
+    d_norm = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
+    viewdirs = d / d_norm
+    d_norm_row = d_norm[:, 0][None, :]  # [1, R]
+
+    # --- 1. coarse pass (reference Trainer.sample_coarse_points, :579-649)
+    t_vals = jax.lax.broadcasted_iota(jnp.int32, (Sc, R), 0).astype(acc) / max(
+        Sc - 1, 1
+    )
+    if lindisp:
+        zc_s[:] = 1.0 / ((1.0 / near) * (1.0 - t_vals) + (1.0 / far) * t_vals)
+    else:
+        zc_s[:] = near * (1.0 - t_vals) + far * t_vals
+
+    _mlp_plane_loop(
+        cfg_c, dtype, Sc, R, lambda s0, SC: zc_s[pl.ds(s0, SC)],
+        o, d, viewdirs, F, P, w_c, (sigc_s,), heads="sigma",
+    )
+    z_c = zc_s[:]
+    dists_c = ops.sorted_dists(z_c, d_norm_row)
+    alpha_c = ops.alpha_from_sigma(sigc_s[:], dists_c)
+    weights_c = alpha_c * ops.exclusive_cumprod_axis0(1.0 - alpha_c + 1e-10)
+
+    # --- 2. det inverse-CDF over the interior weights (sample_pdf)
+    mids = 0.5 * (z_c[1:] + z_c[:-1])  # [Sc-1, R]
+    wmid = weights_c[1:-1] + 1e-5  # [Sc-2, R]
+    pdf = wmid / ops.reduce0(wmid)  # broadcast [1, R] over rows
+    cdf = jnp.concatenate(
+        [jnp.zeros((1, R), acc), ops.inclusive_cumsum_axis0(pdf)], axis=0
+    )  # [Sc-1, R]
+    z_f = _det_sample_pdf_sweep(cdf, mids, Nf)  # [Nf, R]
+
+    # --- 3. union plane in concat order (== the reference's stable-sort key)
+    zu_s[0:Sc] = z_c
+    zu_s[Sc:Su] = z_f
+    _mlp_plane_loop(
+        cfg_f, dtype, Su, R, lambda s0, SC: zu_s[pl.ds(s0, SC)],
+        o, d, viewdirs, F, P, w_f, (sigma_s, r_s, g_s, b_s),
+    )
+    z_u = zu_s[:]
+    rgbs = [r_s[:], g_s[:], b_s[:]]
+    weights, _, _ = ops.unsorted_weights(z_u, sigma_s[:], d_norm_row)
+    maps = ops.finalize_maps(weights, z_u, rgbs, white_bkgd)
+
+    # --- 4. argmax diagnostics (nerf_utils.py:689-691; ties: the composable
+    # path takes the sorted-order first max, here the storage-order first —
+    # identical except for exact fp ties between distinct samples)
+    onehot = ops.argmax_first_axis0(weights)
+    max_z = ops.reduce0(z_u * onehot)
+    max_w = ops.reduce0(weights * onehot)
+    max_rgb = [ops.reduce0(ch * onehot) for ch in rgbs]
+
+    out_ref[:] = jnp.concatenate(
+        maps + [max_z, max_w] + max_rgb + [jnp.zeros((5, R), acc)], axis=0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg_c", "cfg_f", "dtype", "n_coarse", "n_importance", "near", "far",
+        "white_bkgd", "lindisp", "tile", "interpret", "n_cw",
+    ),
+)
+def _call(rays, F, P, packed_c, packed_f, cfg_c, cfg_f, dtype, n_coarse,
+          n_importance, near, far, white_bkgd, lindisp, tile, interpret, n_cw):
+    def kern(*refs_and_scratch):
+        refs, scratch = refs_and_scratch[:-7], refs_and_scratch[-7:]
+        _kernel(cfg_c, cfg_f, dtype, n_coarse, n_importance, near, far,
+                white_bkgd, lindisp, n_cw, refs, scratch)
+
+    consts = (F, P) + tuple(packed_c) + tuple(packed_f)
+    const_specs = [
+        pl.BlockSpec(w.shape, lambda i, nd=len(w.shape): (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for w in consts
+    ]
+    Sc, Su = n_coarse, n_coarse + n_importance
+    return pl.pallas_call(
+        kern,
+        grid=(rays.shape[0] // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        + const_specs,
+        out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, rays.shape[0]), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Sc, tile), jnp.float32),  # coarse z
+            pltpu.VMEM((Sc, tile), jnp.float32),  # coarse sigma
+            pltpu.VMEM((Su, tile), jnp.float32),  # union z
+            pltpu.VMEM((Su, tile), jnp.float32),  # sigma
+            pltpu.VMEM((Su, tile), jnp.float32),  # r
+            pltpu.VMEM((Su, tile), jnp.float32),  # g
+            pltpu.VMEM((Su, tile), jnp.float32),  # b
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=TPU_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(rays, *consts)
+
+
+def fused_render_hier(
+    coarse_params: dict,
+    coarse_cfg: NeRFConfig,
+    fine_params: dict | None,
+    fine_cfg: NeRFConfig | None,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    *,
+    n_coarse: int = 64,
+    n_importance: int = 128,
+    near: float = 2.0,
+    far: float = 6.0,
+    white_bkgd: bool = True,
+    lindisp: bool = False,
+    multires: int = 10,
+    multires_views: int = 4,
+    dtype=jnp.bfloat16,
+    tile: int = _RAYS_PER_TILE,
+    interpret: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """Deterministic hierarchical render of N rays in one fused kernel.
+
+    Returns map-level outputs plus the argmax diagnostics the COMPARE_NERF
+    and NERF_MAX eval modes need:
+    {"rgb_map" [N,3], "disp_map" [N], "acc_map" [N], "depth_map" [N],
+     "max_z" [N], "max_w" [N], "max_rgb" [N,3]}.
+
+    Matches render_rays_eval(FULL_NERF) (engine sample_as_in_nerf at
+    perturb=0, reference nerf_utils.py:497-611) up to kernel dtype.
+    """
+    if n_coarse < 4:
+        raise ValueError("hierarchical kernel needs n_coarse >= 4")
+    if not 1 <= n_importance <= _MAX_SAMPLES - n_coarse:
+        raise ValueError(
+            f"n_importance must be in [1, {_MAX_SAMPLES - n_coarse}]"
+        )
+    if fine_params is None:
+        fine_params, fine_cfg = coarse_params, coarse_cfg
+    rays, n = _pack_rays(rays_o, rays_d, tile)
+    F, P = _pe_matrices(multires, multires_views)
+    packed_c = tuple(
+        _flatten_packed(
+            pack_nerf_params(coarse_params, coarse_cfg, multires, multires_views, dtype)
+        )
+    )
+    packed_f = tuple(
+        _flatten_packed(
+            pack_nerf_params(fine_params, fine_cfg, multires, multires_views, dtype)
+        )
+    )
+    out = _call(
+        rays, F, P, packed_c, packed_f, coarse_cfg, fine_cfg, dtype,
+        n_coarse, n_importance, float(near), float(far), bool(white_bkgd),
+        bool(lindisp), tile, interpret, len(packed_c),
+    )[:, :n]
+    return {
+        "rgb_map": out[0:3].T,
+        "disp_map": out[3],
+        "acc_map": out[4],
+        "depth_map": out[5],
+        "max_z": out[6],
+        "max_w": out[7],
+        "max_rgb": out[8:11].T,
+    }

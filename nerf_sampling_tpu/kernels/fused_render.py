@@ -5,18 +5,26 @@ render (reference render path at perturb=0: stratified z, PE, 8x256 MLP,
 alpha compositing — nerf_utils.py:497-611 + sampling_trainer.py:153-230):
 
     HBM traffic per ray: 32 B in (o|d|pad), 32 B out (rgb|disp|acc|depth)
-    — everything else (z values, 64 sample points, embeddings, activations,
+    — everything else (z values, sample points, embeddings, activations,
     raw outputs, weights) lives and dies in VMEM.
 
-Layout: rows are SAMPLE-MAJOR (row = s * R + r). The MLP sees a
-[S*R, PAD] batch (big rows for the MXU); compositing reshapes per-channel
-columns to [S, R] so the exclusive transmittance cumprod runs along the
-sublane axis as a log-step shift-multiply, and the weighted reductions are
-axis-0 sums.
+Layout: rows are SAMPLE-MAJOR (row = s * R + r). The MLP sees [SC*R, PAD]
+chunk batches (big rows for the MXU); compositing runs on [S, R] planes so
+the transmittance scan and weighted reductions are lane-parallel over rays.
 
-Scope: deterministic eval (perturb=0, raw_noise_std=0), use_viewdirs,
-N_importance=0 (the 64-query coarse budget of bench.py). The hierarchical
-and stochastic paths keep the composable kernel + XLA pipeline.
+v2 (round 2): the MLP streams over sample chunks with a lax.fori_loop
+writing into VMEM scratch planes, so activation VMEM is one chunk's worth
+regardless of S — this lifts round 1's S<=64 cap (the unrolled-chunk
+version OOM'd Mosaic at S=128) to S<=512. New z sources: "lindisp"
+(linear-in-disparity z, reference Trainer.py:611), "gaussian" (in-kernel
+depth population via the pltpu PRNG, reference utils.py:228-236). Gaussian
+populations are composited UNSORTED via the order-free compositor
+(kernels.ops.unsorted_weights) — no in-kernel sort needed.
+
+Scope: deterministic-or-gaussian eval (perturb=0, raw_noise_std=0),
+use_viewdirs. The hierarchical (N_importance>0) eval path is the separate
+fused_hier kernel; stochastic-perturb training keeps the composable
+kernel + XLA pipeline.
 """
 
 from __future__ import annotations
@@ -25,9 +33,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nerf_sampling_tpu.kernels import ops
 from nerf_sampling_tpu.kernels.fused_nerf import (
     XDIM,
     _flatten_packed,
@@ -37,129 +47,38 @@ from nerf_sampling_tpu.kernels.fused_nerf import (
 from nerf_sampling_tpu.models.nerf import NeRFConfig
 
 _RAYS_PER_TILE = 128  # lanes of the [S, R] compositing blocks
+_MAX_SAMPLES = 512  # VMEM plane budget (5 fp32 [S, R] planes at S=512 ~ 1.3 MB)
+MAX_FUSED_SAMPLES = _MAX_SAMPLES
+# Scoped-VMEM cap for the fused kernels (v5e has 128 MB physical VMEM;
+# Mosaic's 16 MB default forces serialization of the unrolled MLP chunks).
+TPU_VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _mlp(cfg: NeRFConfig, dtype, X32, F, P, wit):
-    """PE + MLP on a [M, XDIM] fp32 input; returns fp32 [M, 4].
+def _mlp_plane_loop(
+    cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w, scratch, heads="full"
+):
+    """Stream the MLP over sample chunks, filling [S, R] scratch planes.
 
-    Mirrors kernels.fused_nerf._kernel_body but reads weights from ``wit``
-    (an iterator over the packed refs) so the surrounding kernel controls
-    ref layout.
+    z_read(s0, SC) must return the [SC, R] z rows starting at s0 (s0 is a
+    multiple of SC; SC is static). Writes sigma and sigmoid-rgb planes into
+    ``scratch`` = (sigma_s, r_s, g_s, b_s), or only sigma_s with
+    ``heads="sigma"`` (skips the views branch — coarse eval passes never
+    read rgb).
     """
     acc = jnp.float32
-
-    def nxt():
-        return next(wit)[:]
-
-    S32 = jnp.sin(jnp.dot(X32, F, preferred_element_type=acc) + P)
-    X = X32.astype(dtype)
-    S = S32.astype(dtype)
-
-    w0x, w0s = nxt(), nxt()
-    trunk_w = [None] + [nxt() for _ in range(cfg.D - 1)]
-    trunk_b = [nxt() for _ in range(cfg.D)]
-    skip = {i: (nxt(), nxt()) for i in range(1, cfg.D) if (i - 1) in cfg.skips}
-    views_wx, views_ws, views_wf, views_b = nxt(), nxt(), nxt(), nxt()
-    feature_w, feature_b = nxt(), nxt()
-    head_rgb4, head_alpha4, head_b4 = nxt(), nxt(), nxt()
-
-    def emb_dot(wx, ws):
-        return jnp.dot(X, wx, preferred_element_type=acc) + jnp.dot(
-            S, ws, preferred_element_type=acc
-        )
-
-    h = None
-    for i in range(cfg.D):
-        if i == 0:
-            z = emb_dot(w0x, w0s)
-        elif i in skip:
-            z = jnp.dot(h, trunk_w[i], preferred_element_type=acc) + emb_dot(*skip[i])
-        else:
-            z = jnp.dot(h, trunk_w[i], preferred_element_type=acc)
-        h = jax.nn.relu(z + trunk_b[i]).astype(dtype)
-
-    feature = (jnp.dot(h, feature_w, preferred_element_type=acc) + feature_b).astype(
-        dtype
-    )
-    hv = jax.nn.relu(
-        jnp.dot(feature, views_wf, preferred_element_type=acc)
-        + emb_dot(views_wx, views_ws)
-        + views_b
-    ).astype(dtype)
-    return (
-        jnp.dot(hv, head_rgb4, preferred_element_type=acc)
-        + jnp.dot(h, head_alpha4, preferred_element_type=acc)
-        + head_b4
-    )
-
-
-def _exclusive_cumprod_axis0(x: jnp.ndarray) -> jnp.ndarray:
-    """Exclusive product along axis 0 of [S, R] via log-step shifts.
-
-    Equivalent to cumprod(concat([ones, x], 0))[:-1]; S must be a power of
-    two (static). Uses pltpu.roll + iota masking — no gather, VPU only.
-    """
-    S = x.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    # inclusive scan first
-    y = x
-    shift = 1
-    while shift < S:
-        rolled = pltpu.roll(y, shift, 0)
-        y = jnp.where(row >= shift, y * rolled, y)
-        shift *= 2
-    # exclusive: shift down one row, top row = 1
-    y = pltpu.roll(y, 1, 0)
-    return jnp.where(row == 0, 1.0, y)
-
-
-def _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source, refs):
-    """z_source: "linspace" | "around_center" (static offsets input) |
-    "input" (pre-transposed [S, N] z-values input)."""
-    if z_source == "around_center":
-        rays_ref, z_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
-        wrefs = refs[4:-1]
-    elif z_source == "input":
-        rays_ref, z_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
-        wrefs = refs[4:-1]
+    if heads == "sigma":
+        (sigma_s,) = scratch
     else:
-        rays_ref, F_ref, P_ref = refs[0], refs[1], refs[2]
-        z_ref = None
-        wrefs = refs[3:-1]
-    out_ref = refs[-1]
+        sigma_s, r_s, g_s, b_s = scratch
+    # 1024 MLP rows per chunk: a 2048-row chunk's activation set plus the
+    # scratch planes overflows the 16 MB VMEM budget by ~0.7 MB at W=256.
+    SC = max(1, min(S, 1024 // R))
+    while S % SC:
+        SC //= 2
+    n_chunks = S // SC
 
-    acc = jnp.float32
-    R = rays_ref.shape[0]
-    S = n_samples
-
-    rays = rays_ref[:]  # [R, 8]: o(3) | d(3) | z_center(1) | pad(1)
-    o = rays[:, 0:3]
-    d = rays[:, 3:6]
-    d_norm = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))  # [R, 1]
-    viewdirs = d / d_norm
-
-    if z_source == "around_center":
-        # DepthNet populate mode: z = clip(center + static offsets, near, far)
-        # (reference sample_points_around_mean "uniform",
-        # nerf_pytorch/utils.py:231-240; offsets precomputed sorted on host)
-        center = rays[:, 6][None, :]  # [1, R]
-        z = jnp.clip(center + z_ref[:][:, 0][:, None], near, far)  # [S, R]
-    elif z_source == "input":
-        z = z_ref[:]  # [S, R] block of the caller's pre-transposed z values
-    else:
-        # z values: stratified linspace (eval: perturb=0), Trainer.py:604-610
-        srow = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0).astype(acc)
-        t_vals = srow / (S - 1)
-        z = near * (1.0 - t_vals) + far * t_vals  # [S, R] (same per ray)
-
-    # The MLP runs over sample-chunks (SC*R rows each) so its activations
-    # never hold all S samples at once: the [S*R, 256] versions blew the
-    # 16 MB VMEM budget at R=128. Only the tiny [S, R] channel planes
-    # survive the loop.
-    SC = max(1, min(S, 2048 // R))  # rows per MLP call = SC*R <= 2048
-    sigma_parts, rgb_parts = [], [[], [], []]
-    for s0 in range(0, S, SC):
-        zc = z[s0 : s0 + SC]  # [SC, R]
+    def chunk(s0_static_or_dyn, SC):
+        zc = z_read(s0_static_or_dyn, SC)  # [SC, R]
         o_b = jnp.broadcast_to(o[None], (SC, R, 3))
         d_b = jnp.broadcast_to(d[None], (SC, R, 3))
         v_b = jnp.broadcast_to(viewdirs[None], (SC, R, 3))
@@ -167,60 +86,143 @@ def _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source, refs):
         X32 = jnp.concatenate(
             [pts, v_b, jnp.zeros((SC, R, XDIM - 6), acc)], axis=-1
         ).reshape(SC * R, XDIM)
-        raw = _mlp(cfg, dtype, X32, F_ref[:], P_ref[:], iter(wrefs))  # [SC*R, 4]
-        sigma_parts.append(raw[:, 3].reshape(SC, R))
-        for c in range(3):
-            rgb_parts[c].append(jax.nn.sigmoid(raw[:, c].reshape(SC, R)))
+        raw = ops.mlp_forward(cfg, dtype, X32, F, P, w, heads=heads)  # [SC*R, 4]
+        sl = pl.ds(s0_static_or_dyn, SC)
+        sigma_s[sl] = raw[:, 3].reshape(SC, R)
+        if heads != "sigma":
+            r_s[sl] = jax.nn.sigmoid(raw[:, 0].reshape(SC, R))
+            g_s[sl] = jax.nn.sigmoid(raw[:, 1].reshape(SC, R))
+            b_s[sl] = jax.nn.sigmoid(raw[:, 2].reshape(SC, R))
 
-    sigma = jnp.concatenate(sigma_parts, axis=0)  # [S, R]
-
-    # dists: z[s+1]-z[s], 1e10 tail, scaled by |d| (sampling_trainer.py:177-182)
-    row = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0)
-    if S > 1:
-        dz = pltpu.roll(z, S - 1, 0) - z  # z[s+1]-z[s]; only rows < S-1 used
+    # Static unroll when the chunk count is small: a fori_loop serializes
+    # against Mosaic's software pipelining and measured ~2x slower at S=64
+    # on v5e. The scratch-plane writes (vs round 1's value concatenation)
+    # are what keep VMEM flat, so large S still compiles when unrolled is
+    # too big and the loop takes over.
+    if n_chunks <= 16:
+        for i in range(n_chunks):
+            chunk(i * SC, SC)
     else:
-        dz = z  # unused: the S==1 row takes the 1e10 tail below
-    dists = jnp.where(row == S - 1, 1e10, dz) * d_norm[:, 0][None, :]
 
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)  # [S, R]
-    trans = _exclusive_cumprod_axis0(1.0 - alpha + 1e-10)
-    weights = alpha * trans
+        def body(i, _):
+            chunk(pl.multiple_of(i * SC, SC), SC)
+            return 0
 
-    # Mosaic rejects sublane-axis (axis 0) reductions outright; express
-    # sum-over-samples as a ones-row matmul on the MXU instead.
-    ones_row = jnp.ones((1, S), acc)
+        jax.lax.fori_loop(0, n_chunks, body, 0)
 
-    def reduce0(x):  # [S, R] -> [1, R]
-        return jnp.dot(ones_row, x, preferred_element_type=acc)
 
-    acc_map = reduce0(weights)  # [1, R]
-    depth_map = reduce0(weights * z)
-    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / (acc_map + 1e-10))
-    chans = []
-    for c in range(3):
-        ch = jnp.concatenate(rgb_parts[c], axis=0)  # [S, R]
-        ch_map = reduce0(weights * ch)  # [1, R]
-        if white_bkgd:
-            ch_map = ch_map + (1.0 - acc_map)
-        chans.append(ch_map)
+def _kernel(
+    cfg,
+    dtype,
+    n_samples,
+    near,
+    far,
+    white_bkgd,
+    z_source,
+    lindisp,
+    std,
+    refs,
+    scratch,
+):
+    """z_source: "linspace" | "around_center" (static offsets input) |
+    "input" (pre-transposed [S, N] z-values input) | "gaussian"
+    (in-kernel PRNG population around the per-ray depth, seed input)."""
+    if z_source in ("around_center", "input", "input_unsorted"):
+        rays_ref, z_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
+        wrefs = refs[4:-1]
+    elif z_source == "gaussian":
+        rays_ref, seed_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
+        wrefs = refs[4:-1]
+    else:
+        rays_ref, F_ref, P_ref = refs[0], refs[1], refs[2]
+        wrefs = refs[3:-1]
+    out_ref = refs[-1]
+    z_s, sigma_s, r_s, g_s, b_s = scratch
 
-    # output rows: r | g | b | disp | acc | depth | pad | pad   -> [8, R]
-    out_ref[:] = jnp.concatenate(
-        chans + [disp_map, acc_map, depth_map, jnp.zeros((2, R), acc)], axis=0
+    acc = jnp.float32
+    R = rays_ref.shape[0]
+    S = n_samples
+    w = ops.unpack_wrefs(cfg, wrefs)
+    F, P = F_ref[:], P_ref[:]
+
+    rays = rays_ref[:]  # [R, 8]: o(3) | d(3) | z_center(1) | pad(1)
+    o = rays[:, 0:3]
+    d = rays[:, 3:6]
+    d_norm = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))  # [R, 1]
+    viewdirs = d / d_norm
+    d_norm_row = d_norm[:, 0][None, :]  # [1, R]
+
+    # --- build the z plane [S, R] in scratch
+    row_f = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0).astype(acc)
+    if z_source == "around_center":
+        # DepthNet populate mode: z = clip(center + static offsets, near, far)
+        # (reference sample_points_around_mean "uniform",
+        # nerf_pytorch/utils.py:231-240; offsets precomputed sorted on host)
+        center = rays[:, 6][None, :]  # [1, R]
+        z_s[:] = jnp.clip(center + z_ref[:][:, 0][:, None], near, far)
+    elif z_source in ("input", "input_unsorted"):
+        z_s[:] = z_ref[:]  # [S, R] block of the caller's pre-transposed z
+    elif z_source == "gaussian":
+        # reference gaussian population (utils.py:228-236): rows 0..S-2 are
+        # center + std*randn, row S-1 is the center itself; NO [2,6] clip
+        # (only the uniform mode clips). Composited unsorted below — the
+        # sort in the reference only orders samples, which the order-free
+        # compositor reproduces exactly.
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        center = rays[:, 6][None, :]  # [1, R]
+        noise = ops.normal_rows((S, R))
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0)
+        z_s[:] = center + jnp.where(row_i < S - 1, std * noise, 0.0)
+    else:
+        # stratified linspace at perturb=0 (Trainer.py:604-611); lindisp
+        # spaces linearly in inverse depth (1/z)
+        t_vals = row_f / max(S - 1, 1)
+        if lindisp:
+            z_s[:] = 1.0 / (
+                (1.0 / near) * (1.0 - t_vals) + (1.0 / far) * t_vals
+            )
+        else:
+            z_s[:] = near * (1.0 - t_vals) + far * t_vals
+
+    # --- MLP over sample chunks -> sigma/rgb planes
+    def z_read(s0, SC):
+        return z_s[pl.ds(s0, SC)]
+
+    _mlp_plane_loop(
+        cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w,
+        (sigma_s, r_s, g_s, b_s),
     )
+
+    # --- compositing
+    z = z_s[:]
+    sigma = sigma_s[:]
+    rgbs = [r_s[:], g_s[:], b_s[:]]
+    if z_source in ("gaussian", "input_unsorted"):
+        weights, _, _ = ops.unsorted_weights(z, sigma, d_norm_row)
+    else:
+        dists = ops.sorted_dists(z, d_norm_row)
+        alpha = ops.alpha_from_sigma(sigma, dists)
+        weights = alpha * ops.exclusive_cumprod_axis0(1.0 - alpha + 1e-10)
+
+    maps = ops.finalize_maps(weights, z, rgbs, white_bkgd)
+    # output rows: r | g | b | disp | acc | depth | pad | pad   -> [8, R]
+    out_ref[:] = jnp.concatenate(maps + [jnp.zeros((2, R), acc)], axis=0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "dtype", "n_samples", "near", "far", "white_bkgd", "tile",
-        "interpret", "z_source",
+        "interpret", "z_source", "lindisp", "std",
     ),
 )
 def _call(rays, z_arg, F, P, packed_flat, cfg, dtype, n_samples, near, far,
-          white_bkgd, tile, interpret, z_source="linspace"):
-    def kern(*refs):
-        _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source, refs)
+          white_bkgd, tile, interpret, z_source="linspace", lindisp=False,
+          std=0.0):
+    def kern(*refs_and_scratch):
+        refs, scratch = refs_and_scratch[:-5], refs_and_scratch[-5:]
+        _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source,
+                lindisp, std, refs, scratch)
 
     in_arrays = [rays]
     in_specs = [pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -229,19 +231,23 @@ def _call(rays, z_arg, F, P, packed_flat, cfg, dtype, n_samples, near, far,
         in_specs.append(
             pl.BlockSpec(z_arg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
-    elif z_source == "input":
+    elif z_source in ("input", "input_unsorted"):
         in_arrays.append(z_arg)  # pre-transposed z [S, N]
         in_specs.append(
             pl.BlockSpec(
                 (z_arg.shape[0], tile), lambda i: (0, i), memory_space=pltpu.VMEM
             )
         )
+    elif z_source == "gaussian":
+        in_arrays.append(z_arg)  # per-call PRNG seed, [1] int32
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     consts = (F, P) + tuple(packed_flat)
     const_specs = [
         pl.BlockSpec(w.shape, lambda i, nd=len(w.shape): (0,) * nd,
                      memory_space=pltpu.VMEM)
         for w in consts
     ]
+    S = n_samples
     return pl.pallas_call(
         kern,
         grid=(rays.shape[0] // tile,),
@@ -249,8 +255,52 @@ def _call(rays, z_arg, F, P, packed_flat, cfg, dtype, n_samples, near, far,
         out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, rays.shape[0]), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, tile), jnp.float32),  # z
+            pltpu.VMEM((S, tile), jnp.float32),  # sigma
+            pltpu.VMEM((S, tile), jnp.float32),  # r
+            pltpu.VMEM((S, tile), jnp.float32),  # g
+            pltpu.VMEM((S, tile), jnp.float32),  # b
+        ],
+        # Mosaic's default scoped-vmem cap is 16 MB and it does NOT reuse
+        # buffers across statically-unrolled chunk iterations; v5e has far
+        # more physical VMEM, so raise the cap instead of serializing the
+        # MLP behind a fori_loop (measured ~2x slower).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=TPU_VMEM_LIMIT
+        ),
         interpret=interpret,
-    )(rays, *in_arrays[1:], *consts)
+    )(*in_arrays, *consts)
+
+
+def _check_samples(S: int) -> None:
+    if S < 1 or S > _MAX_SAMPLES:
+        raise ValueError(f"n_samples must be in [1, {_MAX_SAMPLES}], got {S}")
+
+
+def _maps_from_rows(out) -> dict[str, jnp.ndarray]:
+    return {
+        "rgb_map": out[0:3].T,
+        "disp_map": out[3],
+        "acc_map": out[4],
+        "depth_map": out[5],
+    }
+
+
+def _pack_rays(rays_o, rays_d, tile, center=None, pad_center=4.0):
+    n = rays_o.shape[0]
+    rays = jnp.zeros((n, 8), jnp.float32)
+    rays = rays.at[:, 0:3].set(rays_o.astype(jnp.float32))
+    rays = rays.at[:, 3:6].set(rays_d.astype(jnp.float32))
+    if center is not None:
+        rays = rays.at[:, 6].set(center.reshape(-1).astype(jnp.float32))
+    pad = (-n) % tile
+    if pad:
+        padding = jnp.zeros((pad, 8), jnp.float32).at[:, 5].set(-1.0)
+        if center is not None:
+            padding = padding.at[:, 6].set(pad_center)
+        rays = jnp.concatenate([rays, padding], 0)
+    return rays, n
 
 
 def fused_render(
@@ -263,6 +313,7 @@ def fused_render(
     near: float = 2.0,
     far: float = 6.0,
     white_bkgd: bool = True,
+    lindisp: bool = False,
     multires: int = 10,
     multires_views: int = 4,
     dtype=jnp.bfloat16,
@@ -275,31 +326,17 @@ def fused_render(
     matching the composable pipeline (stratified_z_vals(perturb=0) ->
     nerf_apply -> raw2outputs) up to kernel dtype.
     """
-    if n_samples & (n_samples - 1):
-        raise ValueError("n_samples must be a power of two (cumprod scan)")
-    n = rays_o.shape[0]
-    rays = jnp.zeros((n, 8), jnp.float32)
-    rays = rays.at[:, 0:3].set(rays_o.astype(jnp.float32))
-    rays = rays.at[:, 3:6].set(rays_d.astype(jnp.float32))
-    pad = (-n) % tile
-    if pad:
-        padding = jnp.zeros((pad, 8), jnp.float32).at[:, 5].set(-1.0)
-        rays = jnp.concatenate([rays, padding], 0)
-
+    _check_samples(n_samples)
+    rays, n = _pack_rays(rays_o, rays_d, tile)
     F, P = _pe_matrices(multires, multires_views)
     packed_flat = tuple(
         _flatten_packed(pack_nerf_params(params, cfg, multires, multires_views, dtype))
     )
     out = _call(
         rays, None, F, P, packed_flat, cfg, dtype, n_samples, float(near),
-        float(far), bool(white_bkgd), tile, interpret,
+        float(far), bool(white_bkgd), tile, interpret, lindisp=bool(lindisp),
     )[:, :n]
-    return {
-        "rgb_map": out[0:3].T,
-        "disp_map": out[3],
-        "acc_map": out[4],
-        "depth_map": out[5],
-    }
+    return _maps_from_rows(out)
 
 
 def uniform_population_offsets(n_samples: int, std: float):
@@ -309,8 +346,6 @@ def uniform_population_offsets(n_samples: int, std: float):
     sorted(cat([mean + linspace(-std, std, n-1), mean])) clipped to [2, 6]
     (nerf_pytorch/utils.py:231-240) — i.e. mean + sorted(grid U {0}).
     """
-    import numpy as np
-
     if n_samples < 2:
         return np.zeros((1, 1), np.float32)
     grid = np.linspace(-std, std, n_samples - 1)
@@ -336,7 +371,7 @@ def fused_render_around_depth(
     tile: int = _RAYS_PER_TILE,
     interpret: bool = False,
 ) -> dict[str, jnp.ndarray]:
-    """DepthNet populate-and-shade in one fused kernel.
+    """DepthNet populate-and-shade in one fused kernel (uniform mode).
 
     z values are the reference's uniform population around the predicted
     depth (sample_points_around_mean, clipped to the hardcoded [2, 6]);
@@ -344,36 +379,69 @@ def fused_render_around_depth(
 
     depth: [N, 1] or [N] DepthNet predictions.
     """
-    if n_samples & (n_samples - 1):
-        raise ValueError("n_samples must be a power of two (cumprod scan)")
-    n = rays_o.shape[0]
-    rays = jnp.zeros((n, 8), jnp.float32)
-    rays = rays.at[:, 0:3].set(rays_o.astype(jnp.float32))
-    rays = rays.at[:, 3:6].set(rays_d.astype(jnp.float32))
-    rays = rays.at[:, 6].set(depth.reshape(-1).astype(jnp.float32))
-    pad = (-n) % tile
-    if pad:
-        padding = (
-            jnp.zeros((pad, 8), jnp.float32).at[:, 5].set(-1.0).at[:, 6].set(4.0)
-        )
-        rays = jnp.concatenate([rays, padding], 0)
-
+    _check_samples(n_samples)
+    rays, n = _pack_rays(rays_o, rays_d, tile, center=depth)
     offsets = uniform_population_offsets(n_samples, std)  # host constant
     F, P = _pe_matrices(multires, multires_views)
     packed_flat = tuple(
         _flatten_packed(pack_nerf_params(params, cfg, multires, multires_views, dtype))
     )
     out = _call(
-        rays, offsets, F, P, packed_flat, cfg, dtype, n_samples,
+        rays, offsets, F, P, packed_flat, cfg, dtype, offsets.shape[0],
         float(clip_near), float(clip_far), bool(white_bkgd), tile, interpret,
         z_source="around_center",
     )[:, :n]
-    return {
-        "rgb_map": out[0:3].T,
-        "disp_map": out[3],
-        "acc_map": out[4],
-        "depth_map": out[5],
-    }
+    return _maps_from_rows(out)
+
+
+def fused_render_gaussian(
+    params: dict,
+    cfg: NeRFConfig,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    depth: jnp.ndarray,
+    seed,
+    *,
+    n_samples: int = 64,
+    std: float = 0.5,
+    white_bkgd: bool = True,
+    multires: int = 10,
+    multires_views: int = 4,
+    dtype=jnp.bfloat16,
+    tile: int = _RAYS_PER_TILE,
+    interpret: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """DepthNet gaussian populate-and-shade, PRNG and all in one kernel.
+
+    The reference draws randn noise, sorts, then composites
+    (utils.py:228-236 + raw2outputs); here the draw happens on the TPU core
+    (pltpu PRNG, Box-Muller) and compositing is order-free — the sort never
+    needs to happen. Distribution-equivalent, not bit-equal, to the XLA
+    path (different PRNG streams; gaussian mode is stochastic by design).
+
+    TPU-only: interpret mode has no prng lowering — CPU callers draw in
+    XLA and use fused_shade instead (engine handles the dispatch).
+
+    seed: int32 scalar (vary per call for fresh noise).
+    """
+    if interpret:
+        raise NotImplementedError(
+            "in-kernel PRNG has no interpret-mode lowering; draw noise in "
+            "XLA and call fused_shade"
+        )
+    _check_samples(n_samples)
+    rays, n = _pack_rays(rays_o, rays_d, tile, center=depth)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    F, P = _pe_matrices(multires, multires_views)
+    packed_flat = tuple(
+        _flatten_packed(pack_nerf_params(params, cfg, multires, multires_views, dtype))
+    )
+    out = _call(
+        rays, seed_arr, F, P, packed_flat, cfg, dtype, n_samples,
+        2.0, 6.0, bool(white_bkgd), tile, interpret,
+        z_source="gaussian", std=float(std),
+    )[:, :n]
+    return _maps_from_rows(out)
 
 
 def fused_shade(
@@ -389,25 +457,23 @@ def fused_shade(
     dtype=jnp.bfloat16,
     tile: int = _RAYS_PER_TILE,
     interpret: bool = False,
+    assume_sorted: bool = True,
 ) -> dict[str, jnp.ndarray]:
     """Shade externally-computed z values in the fused kernel.
 
-    Covers any z distribution (gaussian depth population, hierarchical fine
-    samples, ...) — the caller does the sampling in XLA, the kernel does
-    PE + MLP + compositing. z_vals: [N, S], S a power of two.
+    Covers any z distribution (gaussian depth population drawn in XLA,
+    hierarchical fine samples, ...) — the caller does the sampling, the
+    kernel does PE + MLP + compositing. z_vals: [N, S]. With
+    ``assume_sorted=False`` the kernel composites via the order-free
+    compositor (stable-sort-by-z semantics without sorting), so callers
+    need not sort their samples at all.
     """
     n, S = z_vals.shape
-    if S & (S - 1):
-        raise ValueError("S must be a power of two (cumprod scan)")
-    rays = jnp.zeros((n, 8), jnp.float32)
-    rays = rays.at[:, 0:3].set(rays_o.astype(jnp.float32))
-    rays = rays.at[:, 3:6].set(rays_d.astype(jnp.float32))
+    _check_samples(S)
+    rays, _ = _pack_rays(rays_o, rays_d, tile)
     z_t = z_vals.astype(jnp.float32).T  # [S, N]: sample-major for the kernel
     pad = (-n) % tile
     if pad:
-        rays = jnp.concatenate(
-            [rays, jnp.zeros((pad, 8), jnp.float32).at[:, 5].set(-1.0)], 0
-        )
         z_t = jnp.concatenate(
             [z_t, jnp.broadcast_to(jnp.linspace(2.0, 6.0, S)[:, None], (S, pad))], 1
         )
@@ -418,11 +484,7 @@ def fused_shade(
     )
     out = _call(
         rays, z_t, F, P, packed_flat, cfg, dtype, S, 2.0, 6.0,
-        bool(white_bkgd), tile, interpret, z_source="input",
+        bool(white_bkgd), tile, interpret,
+        z_source="input" if assume_sorted else "input_unsorted",
     )[:, :n]
-    return {
-        "rgb_map": out[0:3].T,
-        "disp_map": out[3],
-        "acc_map": out[4],
-        "depth_map": out[5],
-    }
+    return _maps_from_rows(out)

@@ -1,0 +1,289 @@
+"""Shared in-kernel building blocks for the fused Pallas render kernels.
+
+Everything here runs INSIDE a Pallas TPU kernel body on VMEM-resident
+values and obeys the Mosaic constraints this jax build enforces (see
+RESULTS.md): no sublane-axis (axis-0) reductions (expressed as ones-row
+matmuls / butterfly rolls instead), no gathers (expressed as masked sweeps),
+fp32 positional encoding, bf16 matmuls with fp32 accumulation.
+
+The sample axis is axis 0 (sublanes), the ray axis is axis 1 (lanes) —
+the sample-major layout lets per-ray scans/reductions run as full-width
+vector ops over the 128-lane ray tile.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_sampling_tpu.models.nerf import NeRFConfig
+
+_ACC = jnp.float32
+
+
+def unpack_wrefs(cfg: NeRFConfig, wrefs) -> dict:
+    """Name the flat packed-weight ref sequence (fused_nerf._flatten_packed).
+
+    Returns refs, not values — callers ``[:]``-read only what they use
+    (e.g. the sigma-only head skips the views branch entirely).
+    """
+    it = iter(wrefs)
+    d: dict = {}
+    d["w0x"], d["w0s"] = next(it), next(it)
+    d["trunk_w"] = [None] + [next(it) for _ in range(cfg.D - 1)]
+    d["trunk_b"] = [next(it) for _ in range(cfg.D)]
+    d["skip"] = {
+        i: (next(it), next(it)) for i in range(1, cfg.D) if (i - 1) in cfg.skips
+    }
+    d["views_wx"], d["views_ws"] = next(it), next(it)
+    d["views_wf"], d["views_b"] = next(it), next(it)
+    d["feature_w"], d["feature_b"] = next(it), next(it)
+    d["head_rgb4"], d["head_alpha4"], d["head_b4"] = next(it), next(it), next(it)
+    return d
+
+
+def mlp_forward(
+    cfg: NeRFConfig,
+    dtype,
+    X32: jnp.ndarray,
+    F: jnp.ndarray,
+    P: jnp.ndarray,
+    w: dict,
+    heads: str = "full",
+) -> jnp.ndarray:
+    """PE + NeRF MLP on a [M, XDIM] fp32 input; returns fp32 [M, 4].
+
+    Matches models.nerf.nerf_apply(cat(PE(pts), PE(dirs))) up to compute
+    dtype. ``heads="sigma"`` skips the feature/views/rgb branch (cols 0-2
+    of the output are then meaningless) — used by coarse passes whose rgb
+    is never consumed (reference eval only reads coarse weights,
+    nerf_utils.py:788-835).
+
+    ``w`` is the dict from unpack_wrefs (refs are read lazily here).
+    """
+    # fp32 PE: high frequencies need full mantissa for the phase
+    S32 = jnp.sin(jnp.dot(X32, F, preferred_element_type=_ACC) + P)
+    X = X32.astype(dtype)
+    S = S32.astype(dtype)
+
+    def emb_dot(wx_ref, ws_ref):
+        return jnp.dot(X, wx_ref[:], preferred_element_type=_ACC) + jnp.dot(
+            S, ws_ref[:], preferred_element_type=_ACC
+        )
+
+    h = None
+    for i in range(cfg.D):
+        if i == 0:
+            z = emb_dot(w["w0x"], w["w0s"])
+        elif i in w["skip"]:
+            z = jnp.dot(
+                h, w["trunk_w"][i][:], preferred_element_type=_ACC
+            ) + emb_dot(*w["skip"][i])
+        else:
+            z = jnp.dot(h, w["trunk_w"][i][:], preferred_element_type=_ACC)
+        h = jax.nn.relu(z + w["trunk_b"][i][:]).astype(dtype)
+
+    alpha_part = jnp.dot(h, w["head_alpha4"][:], preferred_element_type=_ACC)
+    if heads == "sigma":
+        return alpha_part + w["head_b4"][:]
+
+    feature = (
+        jnp.dot(h, w["feature_w"][:], preferred_element_type=_ACC)
+        + w["feature_b"][:]
+    ).astype(dtype)
+    hv = jax.nn.relu(
+        jnp.dot(feature, w["views_wf"][:], preferred_element_type=_ACC)
+        + emb_dot(w["views_wx"], w["views_ws"])
+        + w["views_b"][:]
+    ).astype(dtype)
+    return (
+        jnp.dot(hv, w["head_rgb4"][:], preferred_element_type=_ACC)
+        + alpha_part
+        + w["head_b4"][:]
+    )
+
+
+# ---------------------------------------------------------------------------
+# axis-0 (sample-axis) scans and reductions — Mosaic-safe formulations
+# ---------------------------------------------------------------------------
+
+
+def exclusive_cumprod_axis0(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive product along axis 0 of [S, R] via log-step shifts.
+
+    Equivalent to cumprod(concat([ones, x], 0))[:-1] for ANY S (masked
+    Hillis-Steele scan). pltpu.roll + iota masking — no gather, VPU only.
+    """
+    S = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    y = x
+    shift = 1
+    while shift < S:
+        rolled = pltpu.roll(y, shift, 0)
+        y = jnp.where(row >= shift, y * rolled, y)
+        shift *= 2
+    y = pltpu.roll(y, 1, 0)
+    return jnp.where(row == 0, 1.0, y)
+
+
+def inclusive_cumsum_axis0(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive sum along axis 0 of [S, R] (masked Hillis-Steele, any S)."""
+    S = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    y = x
+    shift = 1
+    while shift < S:
+        rolled = pltpu.roll(y, shift, 0)
+        y = jnp.where(row >= shift, y + rolled, y)
+        shift *= 2
+    return y
+
+
+def allreduce_max_axis0(x: jnp.ndarray) -> jnp.ndarray:
+    """[S, R] -> [S, R] where every row holds the column max.
+
+    Butterfly of circular rolls: after shifts 1,2,4,...,>=S every position
+    has seen every offset (max is idempotent, over-coverage is harmless;
+    works for any S).
+    """
+    y = x
+    shift = 1
+    while shift < x.shape[0]:
+        y = jnp.maximum(y, pltpu.roll(y, shift, 0))
+        shift *= 2
+    return y
+
+
+def reduce0(x: jnp.ndarray) -> jnp.ndarray:
+    """Sum over axis 0: [S, R] -> [1, R] as a ones-row MXU matmul.
+
+    Mosaic rejects sublane-axis reductions outright; the MXU does them for
+    free.
+    """
+    ones_row = jnp.ones((1, x.shape[0]), _ACC)
+    return jnp.dot(ones_row, x, preferred_element_type=_ACC)
+
+
+def argmax_first_axis0(values: jnp.ndarray):
+    """One-hot of the FIRST axis-0 argmax per column (jnp.argmax semantics).
+
+    values: [S, R] -> float one-hot [S, R]. Gather-free: butterfly max +
+    first-occurrence via masked cumsum.
+    """
+    m = allreduce_max_axis0(values)
+    is_max = (values == m).astype(_ACC)
+    first = inclusive_cumsum_axis0(is_max)
+    return jnp.where((is_max > 0) & (first == 1.0), 1.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# compositing (reference raw2outputs, sampling_trainer.py:153-230)
+# ---------------------------------------------------------------------------
+
+
+def alpha_from_sigma(sigma: jnp.ndarray, dists: jnp.ndarray) -> jnp.ndarray:
+    """raw2alpha (nerf_utils.py:27-42): 1 - exp(-relu(sigma) * dists)."""
+    return 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+
+
+def sorted_dists(z: jnp.ndarray, d_norm_row: jnp.ndarray) -> jnp.ndarray:
+    """dists for ascending z [S, R]: z[s+1]-z[s], 1e10 tail, scaled by |d|."""
+    S = z.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    if S > 1:
+        dz = pltpu.roll(z, S - 1, 0) - z  # z[s+1]-z[s]; only rows < S-1 used
+    else:
+        dz = z  # unused: the single row takes the 1e10 tail
+    return jnp.where(row == S - 1, 1e10, dz) * d_norm_row
+
+
+_FAR_SENTINEL = 1e30
+
+
+def unsorted_weights(
+    z: jnp.ndarray,
+    sigma: jnp.ndarray,
+    d_norm_row: jnp.ndarray,
+):
+    """Compositing weights for UNSORTED samples, exactly matching a stable
+    sort by (z, row-index) followed by sorted compositing.
+
+    For each sample i (storage order):
+      dist_i = (smallest z among samples AFTER i in sort order) - z_i,
+               or 1e10 if i is last — then scaled by |d|
+      T_i    = prod over samples BEFORE i of (1 - alpha_j + 1e-10)
+    computed as O(S) masked row sweeps (no sort, no gather). The float
+    product order differs from sorted order by multiplication reordering
+    only (~1 ulp). z: [S, R]; sigma: [S, R]; d_norm_row: [1, R].
+
+    Returns (weights [S, R], alpha [S, R], dists [S, R]).
+    """
+    S = z.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+
+    next_z = jnp.full(z.shape, _FAR_SENTINEL, _ACC)
+    for j in range(S):
+        zj = z[j : j + 1]  # [1, R]
+        after = (zj > z) | ((zj == z) & (j > row))
+        next_z = jnp.where(after & (zj < next_z), zj, next_z)
+    dists = jnp.where(next_z >= _FAR_SENTINEL, 1e10, next_z - z) * d_norm_row
+
+    alpha = alpha_from_sigma(sigma, dists)
+    one_minus = 1.0 - alpha + 1e-10
+    trans = jnp.ones(z.shape, _ACC)
+    for j in range(S):
+        zj = z[j : j + 1]
+        before = (zj < z) | ((zj == z) & (j < row))
+        trans = trans * jnp.where(before, one_minus[j : j + 1], 1.0)
+    return alpha * trans, alpha, dists
+
+
+def finalize_maps(
+    weights: jnp.ndarray,
+    z: jnp.ndarray,
+    rgb_sig: list[jnp.ndarray],
+    white_bkgd: bool,
+) -> list[jnp.ndarray]:
+    """[r, g, b, disp, acc, depth] rows ([1, R] each) from weight planes.
+
+    rgb_sig: three sigmoid-activated [S, R] channel planes.
+    """
+    acc_map = reduce0(weights)
+    depth_map = reduce0(weights * z)
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / (acc_map + 1e-10))
+    chans = []
+    for ch in rgb_sig:
+        ch_map = reduce0(weights * ch)
+        if white_bkgd:
+            ch_map = ch_map + (1.0 - acc_map)
+        chans.append(ch_map)
+    return chans + [disp_map, acc_map, depth_map]
+
+
+# ---------------------------------------------------------------------------
+# in-kernel RNG (TPU only; interpret mode lacks prng_* lowering)
+# ---------------------------------------------------------------------------
+
+
+def uniform_01(shape) -> jnp.ndarray:
+    """U(0, 1) floats from the per-core PRNG (call pltpu.prng_seed first).
+
+    Mosaic has no uint32->float32 convert; use the exponent-stuffing
+    bitcast instead: (bits >> 9) | 0x3f800000 reinterpreted as float32 is
+    uniform in [1, 2) with 23 random mantissa bits. Offset by half a step
+    so log() never sees exactly 0.
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    f12 = pltpu.bitcast(
+        (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32
+    )
+    return (f12 - 1.0) + 2.0**-24
+
+
+def normal_rows(shape) -> jnp.ndarray:
+    """Standard normals via Box-Muller from the per-core PRNG."""
+    u1 = uniform_01(shape)
+    u2 = uniform_01(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * 3.14159265358979) * u2)

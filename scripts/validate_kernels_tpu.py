@@ -1,0 +1,142 @@
+"""On-chip validation of the fused kernels: compile, correctness, timing.
+
+Run on the real TPU (NOT under the test suite's CPU pin). Each section
+prints one line; timings are medians of per-rep device->host-synced runs
+(block_until_ready can return at enqueue on the axon backend).
+
+Usage: python scripts/validate_kernels_tpu.py [n_rays]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/nerf_sampling_tpu_jax"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from nerf_sampling_tpu.models import NeRFConfig, nerf_init  # noqa: E402
+
+
+def sync(x) -> float:
+    return float(np.asarray(x).ravel()[0])
+
+
+def timeit(fn, reps=3):
+    out = fn()
+    jax.tree.map(lambda v: sync(v), out)  # warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.tree.map(lambda v: sync(v), out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return out, times[len(times) // 2]
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 17
+    cfg = NeRFConfig(
+        D=8, W=256, input_ch=63, input_ch_views=27, output_ch=5,
+        skips=(4,), use_viewdirs=True,
+    )
+    params = nerf_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ro = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (n, 1))
+    rd = (rng.standard_normal((n, 3)) * 0.2).astype(np.float32)
+    rd[:, 2] = -1.0
+    ro_j, rd_j = jnp.asarray(ro), jnp.asarray(rd)
+    depth = jnp.asarray(rng.uniform(3.0, 5.0, (n, 1)).astype(np.float32))
+
+    from nerf_sampling_tpu.kernels.fused_hier import fused_render_hier
+    from nerf_sampling_tpu.kernels.fused_render import (
+        fused_render,
+        fused_render_around_depth,
+        fused_render_gaussian,
+        fused_shade,
+    )
+
+    # 1. coarse-only at S=64 (the bench config) and the new large-S cases
+    for S in (64, 128, 192, 256):
+        fn = jax.jit(lambda S=S: fused_render(params, cfg, ro_j, rd_j, n_samples=S))
+        out, dt = timeit(fn)
+        ok = bool(jnp.isfinite(out["rgb_map"]).all())
+        print(f"fused_render S={S}: {n / dt / 1e3:.0f} krays/s finite={ok}")
+
+    # 2. hierarchical 64+128 (the reference production eval operating point)
+    fn = jax.jit(
+        lambda: fused_render_hier(
+            params, cfg, None, None, ro_j, rd_j, n_coarse=64, n_importance=128
+        )
+    )
+    out, dt = timeit(fn)
+    ok = bool(jnp.isfinite(out["rgb_map"]).all())
+    print(f"fused_hier 64+128: {n / dt / 1e3:.0f} krays/s finite={ok}")
+
+    # correctness vs XLA on a small slice
+    m = 1024
+    from nerf_sampling_tpu.render import (
+        EvalMode, NeRFParams, Pipeline, make_ray_batch, render_rays_eval,
+    )
+
+    p = Pipeline(nerf=cfg, N_samples=64, N_importance=128, mlp_impl="xla")
+    rays = make_ray_batch(p, ro_j[:m], rd_j[:m])
+    want = render_rays_eval(
+        p, NeRFParams(coarse=params), rays, jax.random.PRNGKey(0),
+        EvalMode.FULL_NERF,
+    )
+    got = fused_render_hier(
+        params, cfg, None, None, ro_j[:m], rd_j[:m], n_coarse=64, n_importance=128
+    )
+    err = float(
+        jnp.abs(got["rgb_map"] - want["depth_net_rgb_map"]).mean()
+    )
+    errz = float(jnp.abs(got["max_z"] - want["max_z_vals"][:, 0]).mean())
+    print(f"hier vs XLA: rgb mae={err:.5f} max_z mae={errz:.5f} (bf16 budget ~0.01)")
+
+    # 3. uniform populate at S=64 and 128
+    for S in (64, 128):
+        fn = jax.jit(
+            lambda S=S: fused_render_around_depth(
+                params, cfg, ro_j, rd_j, depth, n_samples=S, std=1.0
+            )
+        )
+        out, dt = timeit(fn)
+        print(f"around_depth S={S}: {n / dt / 1e3:.0f} krays/s")
+
+    # 4. in-kernel gaussian vs XLA-draw + fused_shade (distribution check)
+    fn = jax.jit(
+        lambda: fused_render_gaussian(
+            params, cfg, ro_j, rd_j, depth, 1234, n_samples=64, std=1.0
+        )
+    )
+    out_g, dt = timeit(fn)
+    print(f"gaussian in-kernel S=64: {n / dt / 1e3:.0f} krays/s")
+
+    from nerf_sampling_tpu.core.sampling import sample_points_around_mean
+
+    _, z = sample_points_around_mean(
+        ro_j, rd_j, depth, n_samples=64, mode="gaussian", std=1.0,
+        key=jax.random.PRNGKey(7),
+    )
+    fn = jax.jit(lambda: fused_shade(params, cfg, ro_j, rd_j, z))
+    out_x, dt = timeit(fn)
+    print(f"gaussian XLA-draw + fused_shade: {n / dt / 1e3:.0f} krays/s")
+    dmean = float(jnp.abs(out_g["rgb_map"].mean(0) - out_x["rgb_map"].mean(0)).max())
+    print(f"gaussian mean-rgb delta (different PRNG streams): {dmean:.5f}")
+
+
+if __name__ == "__main__":
+    main()

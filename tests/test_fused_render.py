@@ -94,6 +94,118 @@ class TestFusedRender:
         )
 
 
+class TestFusedRenderLargeS:
+    def test_s128_streaming_chunks(self, rng):
+        """S=128 exercises the fori_loop streaming path (round-1 capped at 64)."""
+        cfg = NeRFConfig(
+            D=2, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(), use_viewdirs=True,
+        )
+        params = nerf_init(jax.random.PRNGKey(3), cfg)
+        ro, rd = make_rays(128, rng)
+        got = fused_render(
+            params, cfg, ro, rd, n_samples=128, dtype=jnp.float32, interpret=True
+        )
+        want = reference_render(params, cfg, ro, rd, 128, 2.0, 6.0, True)
+        np.testing.assert_allclose(
+            np.asarray(got["rgb_map"]), np.asarray(want.rgb_map), rtol=3e-4, atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["depth_map"]), np.asarray(want.depth_map),
+            rtol=3e-4, atol=3e-4,
+        )
+
+    def test_lindisp(self, rng):
+        """linear-in-disparity z spacing (reference Trainer.py:611)."""
+        from nerf_sampling_tpu.core.sampling import stratified_z_vals, z_to_points
+
+        cfg = NeRFConfig(
+            D=2, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(), use_viewdirs=True,
+        )
+        params = nerf_init(jax.random.PRNGKey(4), cfg)
+        ro, rd = make_rays(128, rng)
+        got = fused_render(
+            params, cfg, ro, rd, n_samples=8, lindisp=True,
+            dtype=jnp.float32, interpret=True,
+        )
+        z = stratified_z_vals(
+            jnp.full((128, 1), 2.0), jnp.full((128, 1), 6.0), 8,
+            perturb=0.0, lindisp=True,
+        )
+        pts = z_to_points(ro, rd, z)
+        vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        emb = jnp.concatenate(
+            [
+                positional_encoding(pts, 10),
+                jnp.broadcast_to(
+                    positional_encoding(vd, 4)[:, None, :], (*pts.shape[:2], 27)
+                ),
+            ],
+            -1,
+        )
+        want = raw2outputs(nerf_apply(params, cfg, emb), z, rd, 0.0, True)
+        np.testing.assert_allclose(
+            np.asarray(got["rgb_map"]), np.asarray(want.rgb_map), rtol=3e-4, atol=3e-4
+        )
+
+
+class TestUnsortedCompositing:
+    def test_shuffled_z_matches_sorted(self, rng):
+        """The order-free compositor (assume_sorted=False) must reproduce the
+        stable-sorted render exactly — this is what makes in-kernel gaussian
+        population sort-free."""
+        from nerf_sampling_tpu.kernels.fused_render import fused_shade
+
+        cfg = NeRFConfig(
+            D=2, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(), use_viewdirs=True,
+        )
+        params = nerf_init(jax.random.PRNGKey(5), cfg)
+        ro, rd = make_rays(128, rng)
+        z_sorted = jnp.sort(
+            jnp.asarray(rng.uniform(2.0, 6.0, (128, 16)).astype(np.float32)), -1
+        )
+        perm = rng.permutation(16)
+        z_shuf = z_sorted[:, perm]
+        a = fused_shade(
+            params, cfg, ro, rd, z_sorted, dtype=jnp.float32, interpret=True
+        )
+        b = fused_shade(
+            params, cfg, ro, rd, z_shuf, dtype=jnp.float32, interpret=True,
+            assume_sorted=False,
+        )
+        for k in ("rgb_map", "acc_map", "depth_map", "disp_map"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-5
+            )
+
+    def test_duplicate_z_ties(self, rng):
+        """Stable tie-breaking: duplicated z values must match the sorted
+        compositor (sort is stable; first-in-storage wins)."""
+        from nerf_sampling_tpu.kernels.fused_render import fused_shade
+
+        cfg = NeRFConfig(
+            D=2, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(), use_viewdirs=True,
+        )
+        params = nerf_init(jax.random.PRNGKey(6), cfg)
+        ro, rd = make_rays(128, rng)
+        base = jnp.sort(
+            jnp.asarray(rng.uniform(2.0, 6.0, (128, 8)).astype(np.float32)), -1
+        )
+        z = jnp.repeat(base, 2, axis=-1)  # every value duplicated, sorted
+        a = fused_shade(params, cfg, ro, rd, z, dtype=jnp.float32, interpret=True)
+        b = fused_shade(
+            params, cfg, ro, rd, z, dtype=jnp.float32, interpret=True,
+            assume_sorted=False,
+        )
+        for k in ("rgb_map", "acc_map", "depth_map"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-5
+            )
+
+
 class TestFastPathDispatch:
     def test_render_image_fast_path_matches_xla(self, rng):
         """render_image must route coarse-only FULL_NERF + pallas to the
@@ -201,3 +313,195 @@ class TestFusedShade:
         np.testing.assert_allclose(
             np.asarray(got["acc_map"]), np.asarray(want.acc_map), rtol=3e-4, atol=3e-4
         )
+
+
+class TestFusedHier:
+    def _setup(self, rng, seed=7):
+        cfg = NeRFConfig(
+            D=2, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(), use_viewdirs=True,
+        )
+        coarse = nerf_init(jax.random.PRNGKey(seed), cfg)
+        fine = nerf_init(jax.random.PRNGKey(seed + 1), cfg)
+        ro, rd = make_rays(130, rng)  # ragged vs tile=128 -> exercises pad
+        return cfg, coarse, fine, ro, rd
+
+    def _xla_reference(self, cfg, coarse, fine, ro, rd, n_c, n_f, lindisp=False):
+        from nerf_sampling_tpu.render import (
+            EvalMode, NeRFParams, Pipeline, make_ray_batch, render_rays_eval,
+        )
+
+        p = Pipeline(
+            nerf=cfg, fine=cfg, N_samples=n_c, N_importance=n_f,
+            lindisp=lindisp, mlp_impl="xla",
+        )
+        rays = make_ray_batch(p, ro, rd)
+        params = NeRFParams(coarse=coarse, fine=fine)
+        return render_rays_eval(
+            p, params, rays, jax.random.PRNGKey(0), EvalMode.FULL_NERF
+        )
+
+    def test_matches_full_nerf_eval(self, rng):
+        """Fused hierarchical kernel vs the composable FULL_NERF eval path
+        (reference sample_as_in_NeRF at perturb=0, nerf_utils.py:497-611)."""
+        from nerf_sampling_tpu.kernels.fused_hier import fused_render_hier
+
+        cfg, coarse, fine, ro, rd = self._setup(rng)
+        n_c, n_f = 8, 16
+        got = fused_render_hier(
+            coarse, cfg, fine, cfg, ro, rd, n_coarse=n_c, n_importance=n_f,
+            dtype=jnp.float32, interpret=True,
+        )
+        want = self._xla_reference(cfg, coarse, fine, ro, rd, n_c, n_f)
+        np.testing.assert_allclose(
+            np.asarray(got["rgb_map"]),
+            np.asarray(want["depth_net_rgb_map"]), rtol=3e-4, atol=3e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["max_z"]),
+            np.asarray(want["max_z_vals"])[:, 0], rtol=3e-4, atol=3e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["max_w"]),
+            np.asarray(want["max_weights"])[:, 0], rtol=3e-4, atol=3e-4,
+        )
+
+    def test_shared_coarse_fine(self, rng):
+        """fine_params=None must reuse the coarse net (reference
+        create_nerf with N_importance>0 but no separate fine)."""
+        from nerf_sampling_tpu.kernels.fused_hier import fused_render_hier
+
+        cfg, coarse, _, ro, rd = self._setup(rng, seed=9)
+        got = fused_render_hier(
+            coarse, cfg, None, None, ro, rd, n_coarse=8, n_importance=8,
+            dtype=jnp.float32, interpret=True,
+        )
+        from nerf_sampling_tpu.render import (
+            EvalMode, NeRFParams, Pipeline, make_ray_batch, render_rays_eval,
+        )
+
+        p = Pipeline(nerf=cfg, N_samples=8, N_importance=8, mlp_impl="xla")
+        rays = make_ray_batch(p, ro, rd)
+        want = render_rays_eval(
+            p, NeRFParams(coarse=coarse), rays, jax.random.PRNGKey(0),
+            EvalMode.FULL_NERF,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["rgb_map"]),
+            np.asarray(want["depth_net_rgb_map"]), rtol=3e-4, atol=3e-4,
+        )
+
+    def test_lindisp_hier(self, rng):
+        from nerf_sampling_tpu.kernels.fused_hier import fused_render_hier
+
+        cfg, coarse, fine, ro, rd = self._setup(rng, seed=11)
+        got = fused_render_hier(
+            coarse, cfg, fine, cfg, ro, rd, n_coarse=8, n_importance=8,
+            lindisp=True, dtype=jnp.float32, interpret=True,
+        )
+        want = self._xla_reference(cfg, coarse, fine, ro, rd, 8, 8, lindisp=True)
+        np.testing.assert_allclose(
+            np.asarray(got["rgb_map"]),
+            np.asarray(want["depth_net_rgb_map"]), rtol=3e-4, atol=3e-4,
+        )
+
+
+class TestFusedModeDispatch:
+    """render_image must route COMPARE_NERF / NERF_MAX / hierarchical
+    FULL_NERF to the fused kernels and agree with the XLA path."""
+
+    def _setup(self):
+        import dataclasses
+        from nerf_sampling_tpu.models import DepthNetConfig, depth_net_init
+        from nerf_sampling_tpu.render import NeRFParams, Pipeline
+
+        cfg = NeRFConfig(
+            D=2, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(), use_viewdirs=True,
+        )
+        dcfg = DepthNetConfig(hidden_sizes=(16, 16), cat_hidden_sizes=(16, 16))
+        params = NeRFParams(
+            coarse=nerf_init(jax.random.PRNGKey(0), cfg),
+            fine=nerf_init(jax.random.PRNGKey(1), cfg),
+            depth=depth_net_init(jax.random.PRNGKey(2), dcfg),
+        )
+        p_xla = Pipeline(
+            nerf=cfg, fine=cfg, depth=dcfg, N_samples=8, N_importance=8,
+            n_depth_samples=8, sampling_mode="uniform", distance=0.5,
+            mlp_impl="xla",
+        )
+        p_pal = dataclasses.replace(p_xla, mlp_impl="pallas")
+        H, W, focal = 6, 8, 10.0
+        K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]], np.float32)
+        c2w = np.array(
+            [[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.0]], np.float32
+        )
+        return params, p_xla, p_pal, H, W, K, c2w
+
+    def test_hier_full_nerf(self):
+        from nerf_sampling_tpu.render import EvalMode, render_image
+
+        params, p_xla, p_pal, H, W, K, c2w = self._setup()
+        key = jax.random.PRNGKey(0)
+        a = render_image(p_xla, params, H, W, K, c2w, key, EvalMode.FULL_NERF)
+        b = render_image(p_pal, params, H, W, K, c2w, key, EvalMode.FULL_NERF)
+        np.testing.assert_allclose(
+            np.asarray(a["depth_net_rgb_map"]),
+            np.asarray(b["depth_net_rgb_map"]), rtol=0, atol=0.02,
+        )
+
+    def test_nerf_max(self):
+        from nerf_sampling_tpu.render import EvalMode, render_image
+
+        params, p_xla, p_pal, H, W, K, c2w = self._setup()
+        key = jax.random.PRNGKey(0)
+        a = render_image(p_xla, params, H, W, K, c2w, key, EvalMode.NERF_MAX)
+        b = render_image(p_pal, params, H, W, K, c2w, key, EvalMode.NERF_MAX)
+        assert b["depth_net_rgb_map"].shape == (H, W, 3)
+        assert b["max_z_vals"].shape == a["max_z_vals"].shape
+        np.testing.assert_allclose(
+            np.asarray(a["max_z_vals"]), np.asarray(b["max_z_vals"]),
+            rtol=0, atol=0.05,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["depth_net_rgb_map"]),
+            np.asarray(b["depth_net_rgb_map"]), rtol=0, atol=0.02,
+        )
+
+    def test_compare_nerf(self):
+        from nerf_sampling_tpu.render import EvalMode, render_image
+
+        params, p_xla, p_pal, H, W, K, c2w = self._setup()
+        key = jax.random.PRNGKey(0)
+        a = render_image(p_xla, params, H, W, K, c2w, key, EvalMode.COMPARE_NERF)
+        b = render_image(p_pal, params, H, W, K, c2w, key, EvalMode.COMPARE_NERF)
+        # depth-net half: per-sample z kept for the compare MSE diagnostic
+        assert b["depth_net_z_vals"].shape == a["depth_net_z_vals"].shape
+        # z offsets ride the depth prediction: fused branch uses the bf16
+        # fused DepthNet kernel vs fp32 XLA -> ~1e-3 depth tolerance
+        np.testing.assert_allclose(
+            np.asarray(a["depth_net_z_vals"]),
+            np.asarray(b["depth_net_z_vals"]), rtol=0, atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["max_z_vals"]), np.asarray(b["max_z_vals"]),
+            rtol=0, atol=0.05,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["depth_net_rgb_map"]),
+            np.asarray(b["depth_net_rgb_map"]), rtol=0, atol=0.02,
+        )
+
+    def test_depth_net_gaussian_cpu(self):
+        """Gaussian DEPTH_NET on CPU: fused branch draws in XLA + shades
+        in-kernel; sanity (shapes + finiteness; PRNG streams differ)."""
+        import dataclasses
+        from nerf_sampling_tpu.render import EvalMode, render_image
+
+        params, p_xla, p_pal, H, W, K, c2w = self._setup()
+        p_pal = dataclasses.replace(p_pal, sampling_mode="gaussian")
+        out = render_image(
+            p_pal, params, H, W, K, c2w, jax.random.PRNGKey(3), EvalMode.DEPTH_NET
+        )
+        rgb = np.asarray(out["depth_net_rgb_map"])
+        assert rgb.shape == (H, W, 3) and np.isfinite(rgb).all()
