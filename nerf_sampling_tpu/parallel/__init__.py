@@ -15,15 +15,21 @@ from nerf_sampling_tpu.parallel.mesh import (
 from nerf_sampling_tpu.parallel.ops import (
     make_sharded_eval,
     make_sharded_depth_train_step,
+    make_sharded_joint_train_step,
     make_sharded_nerf_train_step,
+    maybe_initialize_distributed,
 )
+from nerf_sampling_tpu.parallel.render import render_image_sharded
 
 __all__ = [
     "make_mesh",
     "make_sharded_depth_train_step",
     "make_sharded_eval",
+    "make_sharded_joint_train_step",
     "make_sharded_nerf_train_step",
+    "maybe_initialize_distributed",
     "ray_sharding",
+    "render_image_sharded",
     "replicated_sharding",
     "shard_ray_batch",
 ]

@@ -75,3 +75,37 @@ def make_sharded_nerf_train_step(
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def make_sharded_joint_train_step(
+    pipeline: Pipeline,
+    nerf_optimizer: optax.GradientTransformation,
+    depth_optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+) -> Callable:
+    """Data-parallel joint NeRF+DepthNet train step."""
+    from nerf_sampling_tpu.train.steps import make_joint_train_step
+
+    rs, rep = ray_sharding(mesh), replicated_sharding(mesh)
+    step = make_joint_train_step(pipeline, nerf_optimizer, depth_optimizer)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rs, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+
+
+def maybe_initialize_distributed(cfg) -> None:
+    """Multi-host wiring: call jax.distributed.initialize when configured.
+
+    The reference is single-process (SURVEY.md §2); here a multi-host pod
+    run sets ``multihost=True`` (or the standard JAX coordinator env vars)
+    and every host joins the same mesh before Trainer.train builds it.
+    Safe no-op on single-host setups.
+    """
+    if not getattr(cfg, "multihost", False):
+        return
+    import jax as _jax
+
+    _jax.distributed.initialize()  # coordinator/num_processes from env

@@ -1,0 +1,79 @@
+"""Mesh-sharded full-image rendering.
+
+Rendering is embarrassingly parallel per ray, so the sharded renderer is a
+``jax.shard_map`` of the single-device unit of work
+(render.engine.render_flat_rays) over the ``rays`` mesh axis: each device
+runs the SAME code — fused Pallas fast paths included — on its ray shard
+with replicated parameters; there are no cross-device collectives at all.
+On a multi-host pod the same shard_map spans all hosts' devices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nerf_sampling_tpu.parallel.mesh import RAY_AXIS
+from nerf_sampling_tpu.render.engine import (
+    EvalMode,
+    NeRFParams,
+    Pipeline,
+    render_flat_rays,
+)
+from nerf_sampling_tpu.core.rays import get_rays
+
+
+def render_image_sharded(
+    pipeline: Pipeline,
+    params: NeRFParams,
+    H: int,
+    W: int,
+    K,
+    c2w,
+    key: jax.Array,
+    mesh: Mesh,
+    mode: EvalMode = EvalMode.DEPTH_NET,
+    chunk: int = 1024 * 32,
+    full_outputs: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """render_image with the ray batch sharded across ``mesh``.
+
+    Pads H*W up to a multiple of the mesh size, splits rays evenly, runs
+    render_flat_rays per device (each device folds its mesh index into the
+    PRNG key so stochastic draws differ per shard), and reassembles the
+    [H, W, ...] maps.
+    """
+    n_dev = mesh.devices.size
+    rays_o, rays_d = get_rays(H, W, K, c2w)
+    ro = rays_o.reshape(-1, 3)
+    rd = rays_d.reshape(-1, 3)
+    n = ro.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)], 0)
+        rd = jnp.concatenate(
+            [rd, jnp.tile(jnp.array([[0.0, 0.0, -1.0]], rd.dtype), (pad, 1))], 0
+        )
+    focal = float(K[0][0])
+
+    def shard_fn(prm, ro_s, rd_s, k):
+        k = jax.random.fold_in(k, jax.lax.axis_index(RAY_AXIS))
+        return render_flat_rays(
+            pipeline, prm, ro_s, rd_s, k,
+            mode=mode, chunk=chunk, full_outputs=full_outputs,
+            H=H, W=W, focal=focal,
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+            out_specs=P(RAY_AXIS),
+        )
+    )
+    flat = fn(params, ro, rd, key)
+    return {
+        name: v[:n].reshape(H, W, *v.shape[1:]) for name, v in flat.items()
+    }

@@ -494,6 +494,252 @@ def _pad_to_multiple(x: jnp.ndarray, m: int) -> jnp.ndarray:
     return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
 
 
+def _fused_fast_paths(
+    pipeline: Pipeline,
+    params: NeRFParams,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: jax.Array,
+    mode: EvalMode,
+) -> dict[str, jnp.ndarray] | None:
+    """Route eligible eval modes to the fused Pallas kernels.
+
+    Returns the render dict with FLAT [N, ...] leaves (N = ray count), or
+    None when the requested mode/config needs the composable path (which
+    then also provides per-sample outputs). Coverage: all four eval modes,
+    S up to MAX_FUSED_SAMPLES, lindisp, uniform + gaussian depth
+    populations (gaussian drawn in-kernel on TPU, in XLA under interpret
+    mode — no PRNG lowering there).
+    """
+    from nerf_sampling_tpu.kernels.fused_render import MAX_FUSED_SAMPLES
+
+    p = pipeline
+    hier_modes = (EvalMode.FULL_NERF, EvalMode.COMPARE_NERF, EvalMode.NERF_MAX)
+    need_hier = mode in hier_modes and p.N_importance > 0
+    need_populate = mode in (EvalMode.DEPTH_NET, EvalMode.COMPARE_NERF)
+
+    # eligibility first — a partially-fused COMPARE would waste the kernel
+    if mode == EvalMode.NERF_MAX and p.N_importance == 0:
+        return None
+    if need_hier and not (
+        4 <= p.N_samples and p.N_samples + p.N_importance <= MAX_FUSED_SAMPLES
+    ):
+        return None
+    if mode == EvalMode.FULL_NERF and p.N_importance == 0 and not (
+        1 <= p.N_samples <= MAX_FUSED_SAMPLES
+    ):
+        return None
+    if need_populate and not (
+        p.sampling_mode in ("uniform", "gaussian")
+        and 1 < p.n_depth_samples <= MAX_FUSED_SAMPLES
+    ):
+        return None
+
+    interpret = jax.default_backend() == "cpu"
+    ro_flat = rays_o.reshape(-1, 3)
+    rd_flat = rays_d.reshape(-1, 3)
+    nerf_params = params.fine if params.fine is not None else params.coarse
+    nerf_cfg = p.fine if params.fine is not None else p.nerf
+    common = dict(
+        white_bkgd=p.white_bkgd,
+        multires=p.multires,
+        multires_views=p.multires_views,
+        interpret=interpret,
+    )
+
+    n = ro_flat.shape[0]
+
+    def map_outputs(maps):
+        return {
+            "depth_net_rgb_map": maps["rgb_map"],
+            "depth_net_disp_map": maps["disp_map"],
+            "depth_net_weights": maps["acc_map"],
+            "depth_net_z_vals": maps["depth_map"],
+            "depth_net_pts": jnp.zeros((n, 0, 3)),
+        }
+
+    diag: dict[str, jnp.ndarray] = {}
+    if need_hier:
+        from nerf_sampling_tpu.kernels.fused_hier import fused_render_hier
+
+        hmaps = fused_render_hier(
+            params.coarse,
+            p.nerf,
+            params.fine,
+            p.fine,
+            ro_flat,
+            rd_flat,
+            n_coarse=p.N_samples,
+            n_importance=p.N_importance,
+            near=p.near,
+            far=p.far,
+            lindisp=p.lindisp,
+            **common,
+        )
+        if mode == EvalMode.FULL_NERF:
+            return map_outputs(hmaps)
+        max_z = hmaps["max_z"].reshape(-1, 1)
+        max_pts = z_to_points(ro_flat, rd_flat, max_z)
+        diag = {
+            "max_z_vals": max_z,
+            "max_pts": max_pts,
+            "max_weights": hmaps["max_w"].reshape(-1, 1),
+        }
+        if mode == EvalMode.NERF_MAX:
+            # render from the argmax sample only (reference :824-829)
+            max_rgb = hmaps["max_rgb"]
+            return {
+                **diag,
+                "depth_net_rgb_map": max_rgb,
+                "depth_net_disp_map": jnp.zeros_like(max_rgb),
+                "depth_net_weights": diag["max_weights"],
+                "depth_net_pts": diag["max_pts"],
+                "depth_net_z_vals": diag["max_z_vals"],
+            }
+    elif mode == EvalMode.FULL_NERF:
+        from nerf_sampling_tpu.kernels.fused_render import fused_render
+
+        maps = fused_render(
+            params.coarse,
+            p.nerf,
+            ro_flat,
+            rd_flat,
+            n_samples=p.N_samples,
+            near=p.near,
+            far=p.far,
+            lindisp=p.lindisp,
+            **common,
+        )
+        return map_outputs(maps)
+
+    # DEPTH_NET populate-and-shade (also the depth-net half of COMPARE)
+    from nerf_sampling_tpu.kernels import fused_depth_net_apply
+    from nerf_sampling_tpu.kernels.fused_render import (
+        fused_render_around_depth,
+        fused_render_gaussian,
+        fused_shade,
+    )
+
+    depth = fused_depth_net_apply(
+        params.depth, p.depth, ro_flat, rd_flat, interpret=interpret
+    )
+    if mode == EvalMode.COMPARE_NERF:
+        # compare mode diagnoses MSE(max_z, per-sample z) — keep the exact
+        # [N, S] z values (XLA) and shade them in-kernel
+        _, z_vals = sample_points_around_mean(
+            ro_flat,
+            rd_flat,
+            depth,
+            n_samples=p.n_depth_samples,
+            mode=p.sampling_mode,
+            std=p.distance,
+            key=key,
+        )
+        maps = fused_shade(nerf_params, nerf_cfg, ro_flat, rd_flat, z_vals, **common)
+        return {
+            **diag,
+            "depth_net_rgb_map": maps["rgb_map"],
+            "depth_net_disp_map": maps["disp_map"],
+            "depth_net_weights": maps["acc_map"],
+            "depth_net_z_vals": z_vals,
+            "depth_net_pts": jnp.zeros((n, 0, 3)),
+        }
+    if p.sampling_mode == "uniform":
+        maps = fused_render_around_depth(
+            nerf_params,
+            nerf_cfg,
+            ro_flat,
+            rd_flat,
+            depth,
+            n_samples=p.n_depth_samples,
+            std=p.distance,
+            **common,
+        )
+    elif interpret:  # gaussian on CPU: XLA draws (no PRNG lowering), kernel shades
+        _, z_vals = sample_points_around_mean(
+            ro_flat,
+            rd_flat,
+            depth,
+            n_samples=p.n_depth_samples,
+            mode="gaussian",
+            std=p.distance,
+            key=key,
+        )
+        maps = fused_shade(nerf_params, nerf_cfg, ro_flat, rd_flat, z_vals, **common)
+    else:  # gaussian on TPU: PRNG draw + order-free compositing in-kernel
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        maps = fused_render_gaussian(
+            nerf_params,
+            nerf_cfg,
+            ro_flat,
+            rd_flat,
+            depth,
+            seed,
+            n_samples=p.n_depth_samples,
+            std=p.distance,
+            **common,
+        )
+    return map_outputs(maps)
+
+
+def render_flat_rays(
+    pipeline: Pipeline,
+    params: NeRFParams,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: jax.Array,
+    mode: EvalMode = EvalMode.DEPTH_NET,
+    chunk: int = 1024 * 32,
+    full_outputs: bool = False,
+    H: int | None = None,
+    W: int | None = None,
+    focal=None,
+) -> dict[str, jnp.ndarray]:
+    """Render a flat [N, 3] ray batch -> dict of flat [N, ...] maps.
+
+    This is the per-shard unit of work: render_image wraps it for a single
+    device; parallel.render.render_image_sharded shard_maps it over a mesh
+    (rendering is embarrassingly parallel per ray). H/W/focal are only
+    needed for NDC reprojection.
+
+    Eligible modes take the fused-kernel fast paths (map-level outputs);
+    full_outputs forces the composable path (per-sample pts/weights for
+    scene-data export), which tiles rays through a ``lax.map`` — the
+    reference's host-side batchify loop (nerf_utils.py:58-85) as one jit
+    program: static shapes, no host round-trips, XLA overlaps tile DMA
+    with compute.
+    """
+    fast_ok = (
+        not full_outputs
+        and pipeline.mlp_impl == "pallas"
+        and pipeline.use_viewdirs
+        and not pipeline.ndc
+        and pipeline.i_embed != -1
+    )
+    out = _fused_fast_paths(pipeline, params, rays_o, rays_d, key, mode) \
+        if fast_ok else None
+    if out is not None:
+        return out
+
+    rays = make_ray_batch(pipeline, rays_o, rays_d, H=H, W=W, focal=focal)
+    n = rays.rays_o.shape[0]
+    chunk = min(chunk, n)
+    padded = jax.tree.map(lambda x: _pad_to_multiple(x, chunk), rays)
+    n_tiles = padded.rays_o.shape[0] // chunk
+    tiled = jax.tree.map(lambda x: x.reshape(n_tiles, chunk, *x.shape[1:]), padded)
+    keys = jax.random.split(key, n_tiles)
+
+    def tile_fn(args):
+        tile_rays, tile_key = args
+        return render_rays_eval(pipeline, params, tile_rays, tile_key, mode)
+
+    maps = jax.lax.map(tile_fn, (tiled, keys))
+    return {
+        name: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
+        for name, v in maps.items()
+    }
+
+
 def render_image(
     pipeline: Pipeline,
     params: NeRFParams,
@@ -506,149 +752,19 @@ def render_image(
     chunk: int = 1024 * 32,
     full_outputs: bool = False,
 ) -> dict[str, jnp.ndarray]:
-    """Render a full image: rays -> tiled eval -> [H, W, ...] maps.
-
-    The reference's host-side batchify loop (nerf_utils.py:58-85) becomes a
-    ``lax.map`` over fixed-size tiles inside one jit program: static shapes,
-    no host round-trips, XLA overlaps tile DMA with compute.
-
-    full_outputs forces the composable path (per-sample pts/weights for
-    scene-data export); otherwise eligible modes take the fused-kernel fast
-    paths, which return map-level outputs only.
-    """
+    """Render a full image: rays -> render_flat_rays -> [H, W, ...] maps."""
     rays_o, rays_d = get_rays(H, W, K, c2w)
-    focal = K[0][0]
-
-    # Fast path: the fully-fused render kernel covers deterministic
-    # coarse-only FULL_NERF eval (bench.py's 64-query budget) end to end —
-    # one kernel, no XLA-side sampling/compositing.
-    fast_ok = (
-        not full_outputs
-        and pipeline.mlp_impl == "pallas"
-        and pipeline.use_viewdirs
-        and not pipeline.ndc
-        and not pipeline.lindisp  # kernels compute linear-in-depth z only
-        and pipeline.i_embed != -1
-    )
-
-    if (
-        fast_ok
-        and mode == EvalMode.DEPTH_NET
-        and pipeline.sampling_mode in ("uniform", "gaussian")
-        and pipeline.n_depth_samples & (pipeline.n_depth_samples - 1) == 0
-        # S > 64 VMEM-OOMs the Mosaic compile (output-stack alloc); the
-        # composable path covers larger populations
-        and 1 < pipeline.n_depth_samples <= 64
-    ):
-        from nerf_sampling_tpu.kernels import fused_depth_net_apply
-        from nerf_sampling_tpu.kernels.fused_render import (
-            fused_render_around_depth,
-            fused_shade,
-        )
-
-        interpret = jax.default_backend() == "cpu"
-        ro_flat = rays_o.reshape(-1, 3)
-        rd_flat = rays_d.reshape(-1, 3)
-        depth = fused_depth_net_apply(
-            params.depth, pipeline.depth, ro_flat, rd_flat, interpret=interpret
-        )
-        nerf_params = params.fine if params.fine is not None else params.coarse
-        nerf_cfg = pipeline.fine if params.fine is not None else pipeline.nerf
-        if pipeline.sampling_mode == "uniform":
-            maps = fused_render_around_depth(
-                nerf_params,
-                nerf_cfg,
-                ro_flat,
-                rd_flat,
-                depth,
-                n_samples=pipeline.n_depth_samples,
-                std=pipeline.distance,
-                white_bkgd=pipeline.white_bkgd,
-                multires=pipeline.multires,
-                multires_views=pipeline.multires_views,
-                interpret=interpret,
-            )
-        else:  # gaussian: XLA draws + sorts the z values, the kernel shades
-            _, z_vals = sample_points_around_mean(
-                ro_flat,
-                rd_flat,
-                depth,
-                n_samples=pipeline.n_depth_samples,
-                mode="gaussian",
-                std=pipeline.distance,
-                key=key,
-            )
-            maps = fused_shade(
-                nerf_params,
-                nerf_cfg,
-                ro_flat,
-                rd_flat,
-                z_vals,
-                white_bkgd=pipeline.white_bkgd,
-                multires=pipeline.multires,
-                multires_views=pipeline.multires_views,
-                interpret=interpret,
-            )
-        return {
-            "depth_net_rgb_map": maps["rgb_map"].reshape(H, W, 3),
-            "depth_net_disp_map": maps["disp_map"].reshape(H, W),
-            "depth_net_weights": maps["acc_map"].reshape(H, W),
-            "depth_net_z_vals": maps["depth_map"].reshape(H, W),
-            "depth_net_pts": jnp.zeros((H, W, 0, 3)),
-        }
-
-    if (
-        fast_ok
-        and mode == EvalMode.FULL_NERF
-        and pipeline.N_importance == 0
-        and pipeline.N_samples & (pipeline.N_samples - 1) == 0
-        and pipeline.N_samples <= 64
-    ):
-        from nerf_sampling_tpu.kernels.fused_render import fused_render
-
-        maps = fused_render(
-            params.coarse,
-            pipeline.nerf,
-            rays_o.reshape(-1, 3),
-            rays_d.reshape(-1, 3),
-            n_samples=pipeline.N_samples,
-            near=pipeline.near,
-            far=pipeline.far,
-            white_bkgd=pipeline.white_bkgd,
-            multires=pipeline.multires,
-            multires_views=pipeline.multires_views,
-            interpret=jax.default_backend() == "cpu",
-        )
-        return {
-            "depth_net_rgb_map": maps["rgb_map"].reshape(H, W, 3),
-            "depth_net_disp_map": maps["disp_map"].reshape(H, W),
-            "depth_net_weights": maps["acc_map"].reshape(H, W),
-            "depth_net_z_vals": maps["depth_map"].reshape(H, W),
-            "depth_net_pts": jnp.zeros((H, W, 0, 3)),
-        }
-
-    rays = make_ray_batch(
+    flat = render_flat_rays(
         pipeline,
+        params,
         rays_o.reshape(-1, 3),
         rays_d.reshape(-1, 3),
+        key,
+        mode=mode,
+        chunk=chunk,
+        full_outputs=full_outputs,
         H=H,
         W=W,
-        focal=focal,
+        focal=K[0][0],
     )
-    n = H * W
-    chunk = min(chunk, n)
-    padded = jax.tree.map(lambda x: _pad_to_multiple(x, chunk), rays)
-    n_tiles = padded.rays_o.shape[0] // chunk
-    tiled = jax.tree.map(lambda x: x.reshape(n_tiles, chunk, *x.shape[1:]), padded)
-    keys = jax.random.split(key, n_tiles)
-
-    def tile_fn(args):
-        tile_rays, tile_key = args
-        return render_rays_eval(pipeline, params, tile_rays, tile_key, mode)
-
-    maps = jax.lax.map(tile_fn, (tiled, keys))
-    out = {}
-    for name, v in maps.items():
-        flat = v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
-        out[name] = flat.reshape(H, W, *v.shape[2:])
-    return out
+    return {name: v.reshape(H, W, *v.shape[1:]) for name, v in flat.items()}

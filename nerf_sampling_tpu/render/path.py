@@ -35,6 +35,7 @@ def render_path(
     step: int = 0,
     logger: Any = None,
     verbose: bool = True,
+    mesh: Any = None,
 ) -> tuple[np.ndarray, np.ndarray, float]:
     """Render every pose; return (rgbs [P,H,W,3], disps [P,H,W], avg_psnr).
 
@@ -58,20 +59,29 @@ def render_path(
         if verbose:
             print(i, time.time() - t)
         t = time.time()
-        maps = render_image(
-            pipeline,
-            params,
-            H,
-            W,
-            np.asarray(K, np.float32),
-            np.asarray(c2w[:3, :4], np.float32),
-            jax.random.fold_in(key, i),
+        render_kwargs = dict(
             mode=mode,
             chunk=chunk,
             # scene-data export needs per-sample pts/weights, which the
             # fused fast paths do not materialize
             full_outputs=save_scene_data,
         )
+        if mesh is not None:
+            from nerf_sampling_tpu.parallel.render import render_image_sharded
+
+            maps = render_image_sharded(
+                pipeline, params, H, W,
+                np.asarray(K, np.float32),
+                np.asarray(c2w[:3, :4], np.float32),
+                jax.random.fold_in(key, i), mesh, **render_kwargs,
+            )
+        else:
+            maps = render_image(
+                pipeline, params, H, W,
+                np.asarray(K, np.float32),
+                np.asarray(c2w[:3, :4], np.float32),
+                jax.random.fold_in(key, i), **render_kwargs,
+            )
         rgb = np.asarray(maps["depth_net_rgb_map"])
         disp = np.asarray(maps["depth_net_disp_map"])
         rgbs.append(rgb)

@@ -68,6 +68,7 @@ class Trainer:
         self.trial = trial  # optuna trial (optional, for HPO pruning)
         self.global_step = 0
         self.start = 0
+        self.mesh = None  # set by _setup_mesh() when n_devices > 1
         self.scene: SceneData | None = None
         self.pipeline: Pipeline | None = None
         self.params: NeRFParams | None = None
@@ -203,9 +204,33 @@ class Trainer:
     # training
     # ------------------------------------------------------------------
 
+    def _setup_mesh(self):
+        """Build the device mesh when multi-chip is requested (n_devices).
+
+        The production scale-out path: training data-parallels the ray
+        batch with replicated params (XLA emits the psum grad all-reduce
+        over ICI); rendering shard_maps the same per-ray code. Returns None
+        for the single-device case.
+        """
+        cfg = self.cfg
+        from nerf_sampling_tpu.parallel import make_mesh, maybe_initialize_distributed
+
+        maybe_initialize_distributed(cfg)
+        n = cfg.n_devices if cfg.n_devices != 0 else jax.device_count()
+        if n <= 1:
+            return None
+        devices = jax.devices()[:n]
+        if len(devices) < n:
+            raise ValueError(
+                f"n_devices={n} but only {jax.device_count()} devices present"
+            )
+        print(f"[trainer] data-parallel over {n} devices")
+        return make_mesh(devices)
+
     def train(self, N_iters: int = 200001) -> float:
         cfg = self.cfg
         _enable_compilation_cache()
+        self.mesh = self._setup_mesh()
         self.scene = self.load_data()
         self.create_log_dir_and_dump_config()
         self.setup_models()
@@ -231,21 +256,42 @@ class Trainer:
         if cfg.train_mode == "depth_net":
             optimizer = make_depth_optimizer(cfg.depth_net_lr)
             state = init_state(self.params.depth, optimizer, self.start)
-            step_fn = make_depth_net_train_step(
-                self.pipeline, optimizer, frozen_nerf=self.params
-            )
+            if self.mesh is not None:
+                from nerf_sampling_tpu.parallel import make_sharded_depth_train_step
+
+                step_fn = make_sharded_depth_train_step(
+                    self.pipeline, optimizer, self.mesh
+                )
+            else:
+                step_fn = make_depth_net_train_step(
+                    self.pipeline, optimizer, frozen_nerf=self.params
+                )
         elif cfg.train_mode == "joint":
             optimizer = make_nerf_optimizer(cfg.lrate, cfg.lrate_decay)
             depth_opt = make_depth_optimizer(cfg.depth_net_lr)
             state = init_state(self.params._replace(depth=None), optimizer, self.start)
             depth_state = init_state(self.params.depth, depth_opt, self.start)
-            step_fn = make_joint_train_step(self.pipeline, optimizer, depth_opt)
+            if self.mesh is not None:
+                from nerf_sampling_tpu.parallel import make_sharded_joint_train_step
+
+                step_fn = make_sharded_joint_train_step(
+                    self.pipeline, optimizer, depth_opt, self.mesh
+                )
+            else:
+                step_fn = make_joint_train_step(self.pipeline, optimizer, depth_opt)
         else:
             optimizer = make_nerf_optimizer(cfg.lrate, cfg.lrate_decay)
             state = init_state(
                 self.params._replace(depth=None), optimizer, self.start
             )
-            step_fn = make_nerf_train_step(self.pipeline, optimizer)
+            if self.mesh is not None:
+                from nerf_sampling_tpu.parallel import make_sharded_nerf_train_step
+
+                step_fn = make_sharded_nerf_train_step(
+                    self.pipeline, optimizer, self.mesh
+                )
+            else:
+                step_fn = make_nerf_train_step(self.pipeline, optimizer)
 
         # Exact-resume: restore optimizer moments when the newest native
         # checkpoint matches this train mode.
@@ -277,6 +323,17 @@ class Trainer:
         # regular argument wedges the axon runtime.
         frozen_nerf = self.params._replace(depth=None)
 
+        ray_shd = None
+        if self.mesh is not None:
+            from nerf_sampling_tpu.parallel import ray_sharding, replicated_sharding
+
+            ray_shd = ray_sharding(self.mesh)
+            # replicate the frozen NeRF once; the sharded depth step takes it
+            # as an explicit (non-donated) argument
+            frozen_nerf = jax.device_put(
+                frozen_nerf, replicated_sharding(self.mesh)
+            )
+
         for i in trange(self.start + 1, N_iters):
             if cfg.profile_dir is not None and i == self.start + 20:
                 profiler_cm = trace(cfg.profile_dir)
@@ -286,9 +343,14 @@ class Trainer:
             # jitted step (per-op dispatch latency through the axon tunnel
             # made host-side make_ray_batch cost ~200 ms/iter)
             batch = np.concatenate([ro, rd, target], -1)
+            if ray_shd is not None:
+                batch = jax.device_put(batch, ray_shd)
             key = jax.random.fold_in(base_key, i)
             if cfg.train_mode == "depth_net":
-                state, metrics = step_fn(state, batch, key)
+                if self.mesh is not None:
+                    state, metrics = step_fn(frozen_nerf, state, batch, key)
+                else:
+                    state, metrics = step_fn(state, batch, key)
                 self.params = frozen_nerf._replace(depth=state.params)
             elif cfg.train_mode == "joint":
                 state, depth_state, metrics = step_fn(state, depth_state, batch, key)
@@ -350,6 +412,7 @@ class Trainer:
                 savedir=testsavedir,
                 logger=self.logger,
                 verbose=False,
+                mesh=self.mesh,
             )
             self._avg_eval_psnr = avg_psnr
             self.logger.log({"test_psnr": avg_psnr}, i)
@@ -368,6 +431,7 @@ class Trainer:
                     chunk=cfg.chunk,
                     savedir=trainsavedir,
                     verbose=False,
+                    mesh=self.mesh,
                 )
 
         if i % cfg.i_video == 0 and i > 0:
@@ -451,6 +515,7 @@ class Trainer:
             mode=self._eval_mode(),
             chunk=cfg.chunk,
             verbose=False,
+            mesh=self.mesh,
         )
         moviebase = os.path.join(self.expdir, f"{cfg.expname}_spiral_{i:06d}_")
         from nerf_sampling_tpu.utils.video import write_video
@@ -495,6 +560,7 @@ class Trainer:
             save_scene_data=cfg.save_scene_data,
             step=self.global_step,
             logger=self.logger,
+            mesh=self.mesh,
         )
         print("Done rendering", testsavedir)
         from nerf_sampling_tpu.utils.video import write_video

@@ -71,6 +71,7 @@ class TrainerConfig:
     no_ndc: bool = False
     spherify: bool = False
     llffhold: int = 8
+    path_zflat: bool = False  # flattened half-spiral render path (load_llff.py:317-323)
     # deepvoxels
     shape: str = "greek"
 
@@ -102,6 +103,9 @@ class TrainerConfig:
     i_weights: int = 10000
     i_testset: int = 20000
     i_video: int = 100000
+    # --- multi-chip scale-out (no reference analog: it is single-device)
+    n_devices: int = 1  # 0 = all local devices; >1 = DP over that many
+    multihost: bool = False  # jax.distributed.initialize before mesh setup
     save_train_set_render: bool = False
     wandb_mode: str = "disabled"
 
