@@ -47,11 +47,20 @@ from nerf_sampling_tpu.kernels.fused_nerf import (
 from nerf_sampling_tpu.models.nerf import NeRFConfig
 
 _RAYS_PER_TILE = 128  # lanes of the [S, R] compositing blocks
+
+
+def _default_tile(n_samples: int) -> int:
+    """Rays per Pallas program: wider tiles amortize fixed per-program cost
+    at small S (measured +7%% at S=64); Mosaic fails to compile 256-lane
+    plane ops at S>=192, so large S stays at 128."""
+    return 256 if n_samples <= 64 else _RAYS_PER_TILE
 _MAX_SAMPLES = 512  # VMEM plane budget (5 fp32 [S, R] planes at S=512 ~ 1.3 MB)
 MAX_FUSED_SAMPLES = _MAX_SAMPLES
 # Scoped-VMEM cap for the fused kernels (v5e has 128 MB physical VMEM;
 # Mosaic's 16 MB default forces serialization of the unrolled MLP chunks).
 TPU_VMEM_LIMIT = 100 * 1024 * 1024
+# MLP rows per streamed chunk (SC = CHUNK_ROWS / ray-tile sample rows).
+CHUNK_ROWS = 1024
 
 
 def _mlp_plane_loop(
@@ -70,9 +79,7 @@ def _mlp_plane_loop(
         (sigma_s,) = scratch
     else:
         sigma_s, r_s, g_s, b_s = scratch
-    # 1024 MLP rows per chunk: a 2048-row chunk's activation set plus the
-    # scratch planes overflows the 16 MB VMEM budget by ~0.7 MB at W=256.
-    SC = max(1, min(S, 1024 // R))
+    SC = max(1, min(S, CHUNK_ROWS // R))
     while S % SC:
         SC //= 2
     n_chunks = S // SC
@@ -317,7 +324,7 @@ def fused_render(
     multires: int = 10,
     multires_views: int = 4,
     dtype=jnp.bfloat16,
-    tile: int = _RAYS_PER_TILE,
+    tile: int | None = None,
     interpret: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Deterministic-eval render of N rays in one fused kernel.
@@ -327,6 +334,8 @@ def fused_render(
     nerf_apply -> raw2outputs) up to kernel dtype.
     """
     _check_samples(n_samples)
+    if tile is None:
+        tile = _default_tile(n_samples)
     rays, n = _pack_rays(rays_o, rays_d, tile)
     F, P = _pe_matrices(multires, multires_views)
     packed_flat = tuple(
@@ -368,7 +377,7 @@ def fused_render_around_depth(
     multires: int = 10,
     multires_views: int = 4,
     dtype=jnp.bfloat16,
-    tile: int = _RAYS_PER_TILE,
+    tile: int | None = None,
     interpret: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """DepthNet populate-and-shade in one fused kernel (uniform mode).
@@ -380,6 +389,8 @@ def fused_render_around_depth(
     depth: [N, 1] or [N] DepthNet predictions.
     """
     _check_samples(n_samples)
+    if tile is None:
+        tile = _default_tile(n_samples)
     rays, n = _pack_rays(rays_o, rays_d, tile, center=depth)
     offsets = uniform_population_offsets(n_samples, std)  # host constant
     F, P = _pe_matrices(multires, multires_views)
@@ -408,7 +419,7 @@ def fused_render_gaussian(
     multires: int = 10,
     multires_views: int = 4,
     dtype=jnp.bfloat16,
-    tile: int = _RAYS_PER_TILE,
+    tile: int | None = None,
     interpret: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """DepthNet gaussian populate-and-shade, PRNG and all in one kernel.
@@ -430,6 +441,8 @@ def fused_render_gaussian(
             "XLA and call fused_shade"
         )
     _check_samples(n_samples)
+    if tile is None:
+        tile = _default_tile(n_samples)
     rays, n = _pack_rays(rays_o, rays_d, tile, center=depth)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     F, P = _pe_matrices(multires, multires_views)
@@ -455,7 +468,7 @@ def fused_shade(
     multires: int = 10,
     multires_views: int = 4,
     dtype=jnp.bfloat16,
-    tile: int = _RAYS_PER_TILE,
+    tile: int | None = None,
     interpret: bool = False,
     assume_sorted: bool = True,
 ) -> dict[str, jnp.ndarray]:
@@ -470,6 +483,8 @@ def fused_shade(
     """
     n, S = z_vals.shape
     _check_samples(S)
+    if tile is None:
+        tile = _default_tile(S)
     rays, _ = _pack_rays(rays_o, rays_d, tile)
     z_t = z_vals.astype(jnp.float32).T  # [S, N]: sample-major for the kernel
     pad = (-n) % tile
