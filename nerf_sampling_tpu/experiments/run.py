@@ -102,11 +102,14 @@ def main(**kw):
     dataset_name = kw["dataset"]
     if dataset_name is not None:
         datadir = f"{ROOT_DIR}/dataset/{dataset_name}"
-        if dataset_name == "example" and not os.path.exists(datadir):
+        if dataset_name in ("example", "example_hard") and not os.path.exists(
+            datadir
+        ):
             from nerf_sampling_tpu.data.example import generate_example_dataset
 
             print(f"Generating example dataset at {datadir}")
-            generate_example_dataset(datadir, H=800, W=800)
+            variant = "multi" if dataset_name == "example_hard" else "sphere"
+            generate_example_dataset(datadir, H=800, W=800, variant=variant)
         candidate = f"{ROOT_DIR}/pretrained/nerf/{dataset_name}/200000.tar"
         if kw["train_mode"] == "depth_net":
             ft_path = candidate

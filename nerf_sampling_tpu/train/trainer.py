@@ -74,6 +74,9 @@ class Trainer:
         self.params: NeRFParams | None = None
         self.logger: MetricsLogger | None = None
         self._avg_eval_psnr = 0.0
+        self._best_psnr = -float("inf")
+        self._evals_since_best = 0
+        self._stop_early = False
 
     # ------------------------------------------------------------------
     # setup
@@ -371,6 +374,8 @@ class Trainer:
                 print(f"profiler trace written to {cfg.profile_dir}")
             self.global_step = i
             self.log(i, metrics, state, timer)
+            if self._stop_early:
+                break
 
         final = metrics.get("psnr")
         return float(final) if final is not None else 0.0
@@ -417,6 +422,24 @@ class Trainer:
             self._avg_eval_psnr = avg_psnr
             self.logger.log({"test_psnr": avg_psnr}, i)
             print(f"Saved test set (avg PSNR {avg_psnr:.3f})")
+            # best-checkpoint selection / early stop on eval PSNR
+            if avg_psnr > self._best_psnr + 1e-6:
+                self._best_psnr = avg_psnr
+                self._evals_since_best = 0
+                if cfg.keep_best:
+                    self.save_checkpoint(i, state, subdir="best")
+            else:
+                self._evals_since_best += 1
+                if (
+                    cfg.early_stop_patience > 0
+                    and self._evals_since_best >= cfg.early_stop_patience
+                ):
+                    print(
+                        f"Early stop at iter {i}: eval PSNR has not improved "
+                        f"for {self._evals_since_best} evals "
+                        f"(best {self._best_psnr:.3f})"
+                    )
+                    self._stop_early = True
             if cfg.save_train_set_render:
                 trainsavedir = os.path.join(self.expdir, f"trainset_{i:06d}")
                 os.makedirs(trainsavedir, exist_ok=True)
@@ -463,17 +486,21 @@ class Trainer:
         if self.trial.should_prune():
             raise optuna.exceptions.TrialPruned()
 
-    def save_checkpoint(self, i: int, state: TrainState) -> None:
+    def save_checkpoint(self, i: int, state: TrainState, subdir: str = "") -> None:
+        """subdir="best" writes the keep_best snapshot out of the resume
+        scan's way (setup_models picks the newest ckpt in expdir itself)."""
         cfg = self.cfg
         tree = {
             "params": self.params,
             "opt_state": state.opt_state,
         }
-        path = os.path.join(self.expdir, f"{i:06d}.npz")
+        outdir = os.path.join(self.expdir, subdir) if subdir else self.expdir
+        os.makedirs(outdir, exist_ok=True)
+        path = os.path.join(outdir, f"{i:06d}.npz")
         if cfg.train_mode == "depth_net":
-            path = os.path.join(self.expdir, f"depth_{i:06d}.npz")
+            path = os.path.join(outdir, f"depth_{i:06d}.npz")
         ckpt_lib.save_checkpoint(path, tree, i)
-        if cfg.export_torch_ckpt:
+        if cfg.export_torch_ckpt and not subdir:
             ckpt_lib.export_torch_checkpoint(
                 os.path.join(self.expdir, f"{i:06d}.tar"),
                 i,

@@ -108,6 +108,14 @@ class TrainerConfig:
     multihost: bool = False  # jax.distributed.initialize before mesh setup
     save_train_set_render: bool = False
     wandb_mode: str = "disabled"
+    # best-checkpoint selection / early stop on eval PSNR. DepthNet training
+    # past ~10k iters can drift eval quality DOWN (argmax targets of
+    # background rays are noise — same objective as the reference,
+    # Trainer.py:537-543); keep_best makes reference-EPOCHS runs recoverable
+    # and early_stop_patience (test evals without improvement; 0 = off)
+    # stops them.
+    keep_best: bool = True
+    early_stop_patience: int = 0
 
     # render-only modes
     render_only: bool = False

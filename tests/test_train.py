@@ -340,3 +340,75 @@ class TestJointTraining:
         psnr = t.train(N_iters=11)
         assert np.isfinite(psnr)
         assert os.path.exists(os.path.join(t.expdir, "000010.npz"))
+
+
+class TestKeepBestEarlyStop:
+    def test_policy(self, tmp_path, monkeypatch):
+        """keep_best snapshots the best-eval checkpoint into best/ and
+        early_stop_patience halts training when eval PSNR stops improving
+        (mitigation for the documented depth-net long-train drift)."""
+        import nerf_sampling_tpu.train.trainer as trainer_mod
+
+        datadir = str(tmp_path / "scene")
+        generate_example_dataset(datadir, H=16, W=16, n_train=2, n_val=1, n_test=1)
+
+        psnrs = iter([20.0, 25.0, 24.0, 23.0, 22.0, 21.0, 20.0])
+
+        def fake_render_path(*args, **kwargs):
+            import numpy as np
+
+            p = next(psnrs)
+            return np.zeros((1, 4, 4, 3)), np.zeros((1, 4, 4)), p
+
+        monkeypatch.setattr(trainer_mod, "render_path", fake_render_path)
+        cfg = TrainerConfig(
+            dataset_type="blender",
+            datadir=datadir,
+            basedir=str(tmp_path / "logs"),
+            expname="kb",
+            train_mode="nerf",
+            netdepth=2, netwidth=16, netdepth_fine=2, netwidth_fine=16,
+            N_samples=4, N_importance=4, N_rand=8,
+            half_res=False, testskip=1, precrop_iters=0,
+            i_testset=2, i_weights=10**9, i_video=10**9, i_print=10**9,
+            export_torch_ckpt=False,
+            keep_best=True, early_stop_patience=2,
+        )
+        tr = trainer_mod.Trainer(cfg)
+        tr.train(N_iters=40)
+        # evals at 2 (20.0, best), 4 (25.0, best), 6 (24.0), 8 (23.0) -> stop
+        assert tr._stop_early
+        assert tr.global_step == 8
+        assert abs(tr._best_psnr - 25.0) < 1e-6
+        best = os.listdir(os.path.join(tr.expdir, "best"))
+        assert "000004.npz" in best  # best snapshot kept
+
+
+class TestHardExampleScene:
+    def test_multi_variant(self):
+        scene = make_example_scene(
+            H=24, W=24, n_train=2, n_val=1, n_test=1, variant="multi"
+        )
+        import numpy as np
+
+        imgs = scene.images
+        assert imgs.shape == (4, 24, 24, 3)
+        assert np.isfinite(imgs).all() and imgs.min() >= 0 and imgs.max() <= 1
+        # hard variant must actually contain content + high-frequency detail:
+        # more texture variance than the single smooth sphere
+        easy = make_example_scene(
+            H=24, W=24, n_train=2, n_val=1, n_test=1, variant="sphere"
+        )
+        grad_hard = np.abs(np.diff(imgs, axis=2)).mean()
+        grad_easy = np.abs(np.diff(easy.images, axis=2)).mean()
+        assert grad_hard > grad_easy
+
+    def test_generate_and_load(self, tmp_path):
+        from nerf_sampling_tpu.data.blender import load_blender_data
+
+        d = str(tmp_path / "hard")
+        generate_example_dataset(
+            d, H=16, W=16, n_train=2, n_val=1, n_test=1, variant="multi"
+        )
+        scene = load_blender_data(d, half_res=False, testskip=1)
+        assert scene.images.shape[0] == 4
