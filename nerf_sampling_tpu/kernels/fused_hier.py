@@ -54,11 +54,14 @@ from nerf_sampling_tpu.kernels.fused_render import (
 from nerf_sampling_tpu.models.nerf import NeRFConfig
 
 
-def _det_sample_pdf_sweep(cdf, mids, n_importance):
-    """Gather-free det-mode sample_pdf (run_nerf_helpers.py:250-293).
+def _sample_pdf_sweep(cdf, mids, n_importance, u=None):
+    """Gather-free sample_pdf (run_nerf_helpers.py:250-293).
 
     cdf: [B, R] monotonic per column (cdf[0] == 0, cdf[B-1] == 1);
     mids: [B, R] bin positions (z midpoints). Returns fine z [Nf, R].
+    ``u``: [Nf, R] in [0, 1] (stochastic train mode); None = the det-mode
+    linspace. u need NOT be sorted — the sweeps are per-element and the
+    downstream compositor is order-free.
 
     searchsorted(side="right") decomposes over the monotonic axis:
       below = last j with cdf[j] <= u   (ascending masked overwrite)
@@ -68,10 +71,11 @@ def _det_sample_pdf_sweep(cdf, mids, n_importance):
     B, R = cdf.shape
     Nf = n_importance
     acc = jnp.float32
-    # det u = linspace(0, 1, Nf) broadcast over rays
-    u = jax.lax.broadcasted_iota(jnp.int32, (Nf, R), 0).astype(acc) / max(
-        Nf - 1, 1
-    )
+    if u is None:
+        # det u = linspace(0, 1, Nf) broadcast over rays
+        u = jax.lax.broadcasted_iota(jnp.int32, (Nf, R), 0).astype(acc) / max(
+            Nf - 1, 1
+        )
 
     cdf_below = jnp.broadcast_to(cdf[0:1], (Nf, R))
     bin_below = jnp.broadcast_to(mids[0:1], (Nf, R))
@@ -105,13 +109,19 @@ def _kernel(
     far,
     white_bkgd,
     lindisp,
+    stochastic,
     n_cw,
     refs,
     scratch,
 ):
-    rays_ref, F_ref, P_ref = refs[0], refs[1], refs[2]
-    wrefs_c = refs[3 : 3 + n_cw]
-    wrefs_f = refs[3 + n_cw : -1]
+    if stochastic:
+        rays_ref, seed_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
+        wrefs_rest = refs[4:]
+    else:
+        rays_ref, F_ref, P_ref = refs[0], refs[1], refs[2]
+        wrefs_rest = refs[3:]
+    wrefs_c = wrefs_rest[:n_cw]
+    wrefs_f = wrefs_rest[n_cw:-1]
     out_ref = refs[-1]
     zc_s, sigc_s, zu_s, sigma_s, r_s, g_s, b_s = scratch
 
@@ -135,9 +145,22 @@ def _kernel(
         Sc - 1, 1
     )
     if lindisp:
-        zc_s[:] = 1.0 / ((1.0 / near) * (1.0 - t_vals) + (1.0 / far) * t_vals)
+        z_det = 1.0 / ((1.0 / near) * (1.0 - t_vals) + (1.0 / far) * t_vals)
     else:
-        zc_s[:] = near * (1.0 - t_vals) + far * t_vals
+        z_det = near * (1.0 - t_vals) + far * t_vals
+    if stochastic:
+        # train-time stratified jitter (Trainer.py:620-626): z ~ U(lower,
+        # upper) per stratum; in-kernel PRNG instead of a host draw
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (Sc, R), 0)
+        z_up = pltpu.roll(z_det, Sc - 1, 0)  # z[s+1] (only rows < Sc-1 used)
+        z_dn = pltpu.roll(z_det, 1, 0)  # z[s-1] (only rows > 0 used)
+        mid_up = jnp.where(row_i == Sc - 1, z_det, 0.5 * (z_det + z_up))
+        mid_dn = jnp.where(row_i == 0, z_det, 0.5 * (z_det + z_dn))
+        t_rand = ops.uniform_01((Sc, R))
+        zc_s[:] = mid_dn + (mid_up - mid_dn) * t_rand
+    else:
+        zc_s[:] = z_det
 
     _mlp_plane_loop(
         cfg_c, dtype, Sc, R, lambda s0, SC: zc_s[pl.ds(s0, SC)],
@@ -148,14 +171,16 @@ def _kernel(
     alpha_c = ops.alpha_from_sigma(sigc_s[:], dists_c)
     weights_c = alpha_c * ops.exclusive_cumprod_axis0(1.0 - alpha_c + 1e-10)
 
-    # --- 2. det inverse-CDF over the interior weights (sample_pdf)
+    # --- 2. inverse-CDF over the interior weights (sample_pdf; det at eval,
+    # random u at train — reference run_nerf_helpers.py:265-273)
     mids = 0.5 * (z_c[1:] + z_c[:-1])  # [Sc-1, R]
     wmid = weights_c[1:-1] + 1e-5  # [Sc-2, R]
     pdf = wmid / ops.reduce0(wmid)  # broadcast [1, R] over rows
     cdf = jnp.concatenate(
         [jnp.zeros((1, R), acc), ops.inclusive_cumsum_axis0(pdf)], axis=0
     )  # [Sc-1, R]
-    z_f = _det_sample_pdf_sweep(cdf, mids, Nf)  # [Nf, R]
+    u = ops.uniform_01((Nf, R)) if stochastic else None
+    z_f = _sample_pdf_sweep(cdf, mids, Nf, u=u)  # [Nf, R]
 
     # --- 3. union plane in concat order (== the reference's stable-sort key)
     zu_s[0:Sc] = z_c
@@ -186,16 +211,24 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "cfg_c", "cfg_f", "dtype", "n_coarse", "n_importance", "near", "far",
-        "white_bkgd", "lindisp", "tile", "interpret", "n_cw",
+        "white_bkgd", "lindisp", "stochastic", "tile", "interpret", "n_cw",
     ),
 )
-def _call(rays, F, P, packed_c, packed_f, cfg_c, cfg_f, dtype, n_coarse,
-          n_importance, near, far, white_bkgd, lindisp, tile, interpret, n_cw):
+def _call(rays, seed, F, P, packed_c, packed_f, cfg_c, cfg_f, dtype, n_coarse,
+          n_importance, near, far, white_bkgd, lindisp, stochastic, tile,
+          interpret, n_cw):
     def kern(*refs_and_scratch):
         refs, scratch = refs_and_scratch[:-7], refs_and_scratch[-7:]
         _kernel(cfg_c, cfg_f, dtype, n_coarse, n_importance, near, far,
-                white_bkgd, lindisp, n_cw, refs, scratch)
+                white_bkgd, lindisp, stochastic, n_cw, refs, scratch)
 
+    in_arrays = [rays]
+    in_specs = [
+        pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    if stochastic:
+        in_arrays.append(seed)  # per-call PRNG seed, [1] int32
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     consts = (F, P) + tuple(packed_c) + tuple(packed_f)
     const_specs = [
         pl.BlockSpec(w.shape, lambda i, nd=len(w.shape): (0,) * nd,
@@ -206,10 +239,7 @@ def _call(rays, F, P, packed_c, packed_f, cfg_c, cfg_f, dtype, n_coarse,
     return pl.pallas_call(
         kern,
         grid=(rays.shape[0] // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        + const_specs,
+        in_specs=in_specs + const_specs,
         out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((16, rays.shape[0]), jnp.float32),
@@ -226,7 +256,7 @@ def _call(rays, F, P, packed_c, packed_f, cfg_c, cfg_f, dtype, n_coarse,
             vmem_limit_bytes=TPU_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(rays, *consts)
+    )(*in_arrays, *consts)
 
 
 def fused_render_hier(
@@ -243,16 +273,24 @@ def fused_render_hier(
     far: float = 6.0,
     white_bkgd: bool = True,
     lindisp: bool = False,
+    seed=None,
     multires: int = 10,
     multires_views: int = 4,
     dtype=jnp.bfloat16,
     tile: int = _RAYS_PER_TILE,
     interpret: bool = False,
 ) -> dict[str, jnp.ndarray]:
-    """Deterministic hierarchical render of N rays in one fused kernel.
+    """Hierarchical render of N rays in one fused kernel.
+
+    Deterministic (perturb=0, det sample_pdf — the eval path) when ``seed``
+    is None; with an int32 ``seed`` the kernel draws the train path's
+    stratified jitter and random CDF samples from the on-core PRNG
+    (reference Trainer.py:620-626 + run_nerf_helpers.py:265-273) — used by
+    the depth-net train step's target oracle. TPU-only when seeded
+    (interpret mode has no PRNG lowering).
 
     Returns map-level outputs plus the argmax diagnostics the COMPARE_NERF
-    and NERF_MAX eval modes need:
+    and NERF_MAX eval modes and the depth-supervision target need:
     {"rgb_map" [N,3], "disp_map" [N], "acc_map" [N], "depth_map" [N],
      "max_z" [N], "max_w" [N], "max_rgb" [N,3]}.
 
@@ -265,9 +303,17 @@ def fused_render_hier(
         raise ValueError(
             f"n_importance must be in [1, {_MAX_SAMPLES - n_coarse}]"
         )
+    if seed is not None and interpret:
+        raise NotImplementedError(
+            "in-kernel PRNG has no interpret-mode lowering (stochastic mode)"
+        )
     if fine_params is None:
         fine_params, fine_cfg = coarse_params, coarse_cfg
     rays, n = _pack_rays(rays_o, rays_d, tile)
+    seed_arr = (
+        jnp.asarray(seed, jnp.int32).reshape(1) if seed is not None
+        else jnp.zeros((1,), jnp.int32)
+    )
     F, P = _pe_matrices(multires, multires_views)
     packed_c = tuple(
         _flatten_packed(
@@ -280,9 +326,9 @@ def fused_render_hier(
         )
     )
     out = _call(
-        rays, F, P, packed_c, packed_f, coarse_cfg, fine_cfg, dtype,
+        rays, seed_arr, F, P, packed_c, packed_f, coarse_cfg, fine_cfg, dtype,
         n_coarse, n_importance, float(near), float(far), bool(white_bkgd),
-        bool(lindisp), tile, interpret, len(packed_c),
+        bool(lindisp), seed is not None, tile, interpret, len(packed_c),
     )[:, :n]
     return {
         "rgb_map": out[0:3].T,

@@ -23,17 +23,39 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from nerf_sampling_tpu.core.compositing import raw2outputs
 from nerf_sampling_tpu.core.metrics import img2mse, mse2psnr
+from nerf_sampling_tpu.core.sampling import z_to_points
+from nerf_sampling_tpu.models.depth_net import depth_net_apply
 from nerf_sampling_tpu.render.engine import (
     NeRFParams,
     Pipeline,
     RayBatch,
+    _query_fine_or_coarse,
     make_ray_batch,
     render_rays_joint,
     render_rays_train,
     render_rays_vanilla,
 )
 from nerf_sampling_tpu.train.state import TrainState
+
+
+def _can_use_hier_oracle(p: Pipeline) -> bool:
+    """The depth-net step's frozen-NeRF target pass can run as ONE fused
+    stochastic hierarchical kernel when the config fits its envelope."""
+    from nerf_sampling_tpu.kernels.fused_render import MAX_FUSED_SAMPLES
+
+    return (
+        p.mlp_impl == "pallas"
+        and p.use_viewdirs
+        and not p.ndc
+        and p.i_embed != -1
+        and p.raw_noise_std == 0.0
+        and 1 <= p.N_importance
+        and 4 <= p.N_samples
+        and p.N_samples + p.N_importance <= MAX_FUSED_SAMPLES
+        and jax.default_backend() != "cpu"  # seeded kernel needs real PRNG
+    )
 
 
 def _unpack_batch(pipeline: Pipeline, batch) -> tuple[RayBatch, jnp.ndarray]:
@@ -61,6 +83,8 @@ def make_depth_net_train_step(
     Without it, the step takes (nerf_params, depth_state, batch, key).
     """
 
+    use_oracle = _can_use_hier_oracle(pipeline)
+
     def body(
         nerf_params: NeRFParams,
         depth_state: TrainState,
@@ -69,14 +93,66 @@ def make_depth_net_train_step(
     ) -> tuple[TrainState, dict[str, jnp.ndarray]]:
         rays, target = _unpack_batch(pipeline, batch)
 
-        def loss_fn(depth_params: Any):
-            params = NeRFParams(nerf_params.coarse, nerf_params.fine, depth_params)
-            out = render_rays_train(pipeline, params, rays, key)
-            img_loss = img2mse(out["depth_net_rgb_map"], target)
-            depth_loss = img2mse(
-                out["depth_net_z_vals"], jax.lax.stop_gradient(out["max_z_vals"])
+        if use_oracle:
+            # The frozen-NeRF target pass (the step's 98% FLOP share: 64+128
+            # stochastic hierarchical samples, reference nerf_utils.py:497-611
+            # + argmax :689-691) carries no gradient w.r.t. depth params, so
+            # it runs as ONE fused Pallas kernel — stratified jitter and CDF
+            # randoms drawn on-core. Only the single depth-point query stays
+            # on the differentiable XLA path below.
+            from nerf_sampling_tpu.kernels.fused_hier import fused_render_hier
+
+            k_seed, k_noise = jax.random.split(key)
+            p = pipeline
+            hm = fused_render_hier(
+                nerf_params.coarse,
+                p.nerf,
+                nerf_params.fine,
+                p.fine,
+                rays.rays_o,
+                rays.rays_d,
+                n_coarse=p.N_samples,
+                n_importance=p.N_importance,
+                near=p.near,
+                far=p.far,
+                lindisp=p.lindisp,
+                white_bkgd=p.white_bkgd,
+                multires=p.multires,
+                multires_views=p.multires_views,
+                seed=jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32),
             )
-            return img_loss + depth_loss, (img_loss, depth_loss)
+            max_z = jax.lax.stop_gradient(hm["max_z"].reshape(-1, 1))
+
+            def loss_fn(depth_params: Any):
+                depth_z = depth_net_apply(
+                    depth_params, p.depth, rays.rays_o, rays.rays_d
+                )
+                depth_pts = z_to_points(rays.rays_o, rays.rays_d, depth_z)
+                params = NeRFParams(nerf_params.coarse, nerf_params.fine, None)
+                depth_raw = _query_fine_or_coarse(
+                    p, params, depth_pts, rays, force_xla=True
+                )
+                out = raw2outputs(
+                    depth_raw, depth_z, rays.rays_d, 0.0, p.white_bkgd,
+                    key=k_noise,
+                )
+                img_loss = img2mse(out.rgb_map, target)
+                depth_loss = img2mse(depth_z, max_z)
+                return img_loss + depth_loss, (img_loss, depth_loss)
+
+        else:
+
+            def loss_fn(depth_params: Any):
+                params = NeRFParams(
+                    nerf_params.coarse, nerf_params.fine, depth_params
+                )
+                out = render_rays_train(pipeline, params, rays, key)
+                img_loss = img2mse(out["depth_net_rgb_map"], target)
+                depth_loss = img2mse(
+                    out["depth_net_z_vals"],
+                    jax.lax.stop_gradient(out["max_z_vals"]),
+                )
+                return img_loss + depth_loss, (img_loss, depth_loss)
 
         grads, (img_loss, depth_loss) = jax.grad(loss_fn, has_aux=True)(
             depth_state.params
@@ -111,12 +187,14 @@ def make_nerf_train_step(
     loss = img2mse(fine_rgb, target) + img2mse(coarse_rgb, target)
     (the standard NeRF objective the reference's machinery implies).
 
-    Always uses the differentiable XLA MLP path — here the NeRF params ARE
-    the gradient target, and the Pallas kernel has no VJP.
+    mlp_impl="pallas" trains through the custom-VJP fused kernel
+    (kernels/fused_nerf_vjp.py: bf16 matmuls, fp32 PE/accum, recompute
+    backward); "xla" keeps the fp32 path. CPU falls back to xla — the
+    interpret-mode kernels are only for correctness tests.
     """
     import dataclasses
 
-    if pipeline.mlp_impl != "xla":
+    if pipeline.mlp_impl != "xla" and jax.default_backend() == "cpu":
         pipeline = dataclasses.replace(pipeline, mlp_impl="xla")
 
     def step(
@@ -167,12 +245,12 @@ def make_joint_train_step(
         depth: img2mse(depth_rgb, target) + mse(depth_z, stop_grad(max_z))
 
     The step takes (nerf_state, depth_state, batch, key) and returns
-    (new_nerf_state, new_depth_state, metrics). Always the XLA MLP path
-    (both param sets are gradient targets).
+    (new_nerf_state, new_depth_state, metrics). mlp_impl="pallas" trains
+    through the custom-VJP fused kernel; CPU falls back to xla.
     """
     import dataclasses
 
-    if pipeline.mlp_impl != "xla":
+    if pipeline.mlp_impl != "xla" and jax.default_backend() == "cpu":
         pipeline = dataclasses.replace(pipeline, mlp_impl="xla")
 
     def step(
