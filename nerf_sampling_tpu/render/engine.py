@@ -159,9 +159,14 @@ def query_nerf(
         and viewdirs is not None
         and pipeline.i_embed != -1
     ):
-        from nerf_sampling_tpu.kernels import fused_nerf_apply
+        # the custom-VJP variant: forward-identical to the inference kernel,
+        # and differentiable w.r.t. params AND inputs (recompute backward
+        # kernel) — training steps can stay on the fused path end to end
+        from nerf_sampling_tpu.kernels.fused_nerf_vjp import (
+            fused_nerf_train_apply,
+        )
 
-        return fused_nerf_apply(
+        return fused_nerf_train_apply(
             params,
             cfg,
             pts,
