@@ -47,6 +47,7 @@ class RaySampler:
         self._rays_rgb = None
         self._i_batch = 0
         self._ray_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._coords_cache: dict[bool, np.ndarray] = {}
         if cfg.use_batching:
             self._build_batched_rays()
 
@@ -87,9 +88,14 @@ class RaySampler:
     def _sample_per_image(self, i: int):
         scene, cfg = self.scene, self.cfg
         if cfg.single_image:
-            # fixed image (reference Trainer.py:417); modulo guards tiny sets
-            img_i = 42 % len(scene.i_train)
-            img_i = scene.i_train[img_i] if 42 >= len(scene.i_train) else 42
+            # The reference pins raw image id 42 (Trainer.py:417) — valid
+            # only for its blender split. Use id 42 when it IS a train
+            # image; otherwise fall back to a fixed train image so small
+            # or reordered splits never index out of range / off-split.
+            if 42 in scene.i_train:
+                img_i = 42
+            else:
+                img_i = int(scene.i_train[42 % len(scene.i_train)])
         else:
             img_i = self.rng.choice(scene.i_train)
         target = scene.images[img_i]
@@ -106,15 +112,21 @@ class RaySampler:
             )
         rays_o, rays_d = self._ray_cache[img_i]
 
-        if i < cfg.precrop_iters:
-            dH = int(self.H // 2 * cfg.precrop_frac)
-            dW = int(self.W // 2 * cfg.precrop_frac)
-            rows = np.arange(self.H // 2 - dH, self.H // 2 + dH)
-            cols = np.arange(self.W // 2 - dW, self.W // 2 + dW)
-        else:
-            rows = np.arange(self.H)
-            cols = np.arange(self.W)
-        coords = np.stack(np.meshgrid(rows, cols, indexing="ij"), -1).reshape(-1, 2)
+        precrop = i < cfg.precrop_iters
+        coords = self._coords_cache.get(precrop)
+        if coords is None:
+            if precrop:
+                dH = int(self.H // 2 * cfg.precrop_frac)
+                dW = int(self.W // 2 * cfg.precrop_frac)
+                rows = np.arange(self.H // 2 - dH, self.H // 2 + dH)
+                cols = np.arange(self.W // 2 - dW, self.W // 2 + dW)
+            else:
+                rows = np.arange(self.H)
+                cols = np.arange(self.W)
+            coords = np.stack(
+                np.meshgrid(rows, cols, indexing="ij"), -1
+            ).reshape(-1, 2)
+            self._coords_cache[precrop] = coords
 
         if cfg.single_ray:
             select = np.array([91])  # fixed pixel (reference Trainer.py:459-461)
