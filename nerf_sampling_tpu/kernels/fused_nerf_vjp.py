@@ -180,7 +180,8 @@ def _bwd_kernel(cfg: NeRFConfig, dtype, n_w, refs):
     )
 
     for i in range(cfg.D - 1, -1, -1):
-        d_z = jnp.where(hs[i] > 0, d_h, 0.0)
+        # fp32 compare: Mosaic has no bf16 cmpf on this target
+        d_z = jnp.where(hs[i].astype(_ACC) > 0, d_h, 0.0)
         d_z16 = d_z.astype(dtype)
         emit(("trunk_b", i), _colsum(d_z))
         if i == 0:
