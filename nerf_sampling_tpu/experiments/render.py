@@ -52,6 +52,8 @@ from nerf_sampling_tpu.utils.config import load_trainer_config, override_config
 @click.option("--mlp_impl", type=click.Choice(["xla", "pallas"]), default="pallas",
               show_default=True,
               help="pallas: fused bf16 kernels (PSNR parity validated).")
+@click.option("--testskip", default=None, type=int,
+              help="Load every Nth test/val image (reference --testskip).")
 @click.option("--ft_path", "ft_path_opt", default=None,
               help="Explicit NeRF checkpoint to load.")
 @click.option("--depth_net_path", "depth_net_path_opt", default=None,
@@ -75,6 +77,8 @@ def main(**kw):
     cfg.render_only = True
     cfg.render_test = True
     cfg.mlp_impl = kw["mlp_impl"]
+    if kw["testskip"] is not None:
+        cfg.testskip = kw["testskip"]
     if kw["render_test"]:
         cfg.render_test = True
 

@@ -75,6 +75,9 @@ from nerf_sampling_tpu.utils.config import (
               help="pallas: fused-kernel hierarchical pass (depth_net mode).")
 @click.option("--ft_path", "ft_path_opt", default=None,
               help="Explicit NeRF checkpoint (.tar or .npz) to load.")
+@click.option("--testskip", default=None, type=int,
+              help="Load every Nth test/val image (reference config_parser "
+                   "--testskip; config default 8).")
 @click.option("--seed", default=42, show_default=True,
               help="Init + sampling seed. If NeRF pretraining collapses to "
                    "an all-white render (density death, a failure mode "
@@ -91,6 +94,8 @@ def main(**kw):
     cfg.matmul_precision = kw["matmul_precision"]
     cfg.mlp_impl = kw["mlp_impl"]
     cfg.seed = kw["seed"]
+    if kw["testskip"] is not None:
+        cfg.testskip = kw["testskip"]
     if kw["train_mode"] == "nerf" and cfg.precrop_iters == 0:
         # reference blender configs train the first 500 iters on a center
         # crop (configs/lego.txt:16-17) to avoid density collapse; the YAML
