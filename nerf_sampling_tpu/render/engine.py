@@ -524,7 +524,11 @@ def _fused_fast_paths(
     need_populate = mode in (EvalMode.DEPTH_NET, EvalMode.COMPARE_NERF)
 
     # eligibility first — a partially-fused COMPARE would waste the kernel
-    if mode == EvalMode.NERF_MAX and p.N_importance == 0:
+    if (
+        mode in (EvalMode.NERF_MAX, EvalMode.COMPARE_NERF)
+        and p.N_importance == 0
+    ):
+        # their max_* diagnostics come from the hier kernel only
         return None
     if need_hier and not (
         4 <= p.N_samples and p.N_samples + p.N_importance <= MAX_FUSED_SAMPLES

@@ -41,3 +41,13 @@ def test_depth_step_with_pallas_hier_matches_xla_direction():
     assert abs(a["depth_net_loss"] - b["depth_net_loss"]) < 0.05 * (
         abs(a["depth_net_loss"]) + 0.01
     ), (a, b)
+
+
+def test_hier_oracle_eligibility():
+    """The fused stochastic oracle is TPU-only and config-gated."""
+    from nerf_sampling_tpu.train.steps import _can_use_hier_oracle
+
+    p = tiny_pipeline()
+    # cpu backend in tests -> never eligible (no PRNG lowering)
+    assert not _can_use_hier_oracle(dataclasses.replace(p, mlp_impl="pallas"))
+    assert not _can_use_hier_oracle(dataclasses.replace(p, mlp_impl="xla"))
