@@ -8,6 +8,7 @@ from nerf_sampling_tpu.train.state import (
 )
 from nerf_sampling_tpu.train.steps import (
     make_depth_net_train_step,
+    make_multi_step,
     make_nerf_train_step,
 )
 from nerf_sampling_tpu.train.sampler import RaySampler, SamplerConfig
@@ -32,6 +33,7 @@ __all__ = [
     "make_depth_net_train_step",
     "make_depth_optimizer",
     "make_nerf_optimizer",
+    "make_multi_step",
     "make_nerf_train_step",
     "nerf_lr_schedule",
     "save_checkpoint",

@@ -228,6 +228,51 @@ def make_nerf_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_multi_step(step_fn: Callable, n_states: int = 1) -> Callable:
+    """Fuse many train steps into ONE dispatch via lax.scan.
+
+    Per-step host dispatch through the remote-tunneled backend costs
+    milliseconds — comparable to the 1024-ray step's compute — so the
+    trainer batches ``K`` pre-sampled ray batches into a [K, N, 9] stack and
+    runs them in one jitted scan. Per-step PRNG keys are derived inside
+    (fold_in(base_key, i0 + j)), matching the single-step loop's stream
+    exactly, so a scanned run is bit-identical to K sequential steps.
+
+    step_fn: (state, batch, key) -> (state, metrics)            [n_states=1]
+             (s1, s2, batch, key) -> (s1, s2, metrics)          [n_states=2]
+    Returns a jitted fn taking (states..., batches [K, ...], base_key,
+    i0) and returning (states..., metrics stacked [K, ...]).
+    """
+
+    def keys_for(base_key, i0, k):
+        idx = jnp.arange(k, dtype=jnp.int32) + jnp.asarray(i0, jnp.int32)
+        return jax.vmap(lambda j: jax.random.fold_in(base_key, j))(idx)
+
+    if n_states == 1:
+
+        def multi(state, batches, base_key, i0):
+            keys = keys_for(base_key, i0, batches.shape[0])
+
+            def body(carry, xs):
+                return step_fn(carry, xs[0], xs[1])
+
+            return jax.lax.scan(body, state, (batches, keys))
+
+        return jax.jit(multi, donate_argnums=(0,))
+
+    def multi2(s1, s2, batches, base_key, i0):
+        keys = keys_for(base_key, i0, batches.shape[0])
+
+        def body(carry, xs):
+            a, b, m = step_fn(carry[0], carry[1], xs[0], xs[1])
+            return (a, b), m
+
+        (s1, s2), ms = jax.lax.scan(body, (s1, s2), (batches, keys))
+        return s1, s2, ms
+
+    return jax.jit(multi2, donate_argnums=(0, 1))
+
+
 def make_joint_train_step(
     pipeline: Pipeline,
     nerf_optimizer: optax.GradientTransformation,

@@ -32,6 +32,7 @@ from nerf_sampling_tpu.train.state import (
 from nerf_sampling_tpu.train.steps import (
     make_depth_net_train_step,
     make_joint_train_step,
+    make_multi_step,
     make_nerf_train_step,
 )
 from nerf_sampling_tpu.utils.config import TrainerConfig
@@ -337,6 +338,13 @@ class Trainer:
                 frozen_nerf, replicated_sharding(self.mesh)
             )
 
+        n_scan = self._resolve_scan_steps(N_iters)
+        if n_scan > 1:
+            return self._train_scanned(
+                step_fn, state, depth_state, sampler, base_key, N_iters,
+                timer, frozen_nerf, n_scan,
+            )
+
         for i in trange(self.start + 1, N_iters):
             if cfg.profile_dir is not None and i == self.start + 20:
                 profiler_cm = trace(cfg.profile_dir)
@@ -377,6 +385,88 @@ class Trainer:
             if self._stop_early:
                 break
 
+        final = metrics.get("psnr")
+        return float(final) if final is not None else 0.0
+
+    def _resolve_scan_steps(self, N_iters: int) -> int:
+        """Steps fused per dispatch (cfg.steps_per_dispatch; 0 = auto).
+
+        Auto picks the largest divisor of every logging cadence that is
+        <= 32, so chunk boundaries land exactly on i_print/i_weights/
+        i_testset/i_video multiples and log() sees the state it would have
+        seen in the single-step loop. Stays at 1 on cpu (no dispatch
+        latency to amortize), under a mesh (the sharded steps are wrapped
+        separately), when profiling (per-step trace), and for runs shorter
+        than one chunk.
+        """
+        import math
+
+        cfg = self.cfg
+        if cfg.steps_per_dispatch == 1:
+            return 1
+        if (
+            self.mesh is not None
+            or cfg.profile_dir is not None
+            or jax.default_backend() == "cpu"
+            or N_iters - self.start <= 2
+        ):
+            return 1
+        if cfg.steps_per_dispatch > 1:
+            return cfg.steps_per_dispatch
+        g = math.gcd(
+            math.gcd(cfg.i_print, cfg.i_weights),
+            math.gcd(cfg.i_testset, cfg.i_video),
+        )
+        best = 1
+        for k in range(2, min(g, 32) + 1):
+            if g % k == 0:
+                best = k
+        return best
+
+    def _train_scanned(
+        self, step_fn, state, depth_state, sampler, base_key, N_iters,
+        timer, frozen_nerf, n_scan,
+    ) -> float:
+        """The train loop with n_scan steps fused per dispatch.
+
+        Bit-identical to the single-step loop (same per-step fold_in keys,
+        same sampler stream); the chunk's stacked metrics are read back once
+        per dispatch, which also bounds the async queue (RESULTS.md: deep
+        dispatch queues stall the axon tunnel).
+        """
+        cfg = self.cfg
+        mode = cfg.train_mode
+        multi = make_multi_step(step_fn, n_states=2 if mode == "joint" else 1)
+        from tqdm import tqdm
+
+        metrics: dict[str, Any] = {}
+        pbar = tqdm(total=N_iters - 1 - self.start)
+        i = self.start + 1
+        while i < N_iters and not self._stop_early:
+            k = min(n_scan, N_iters - i)
+            stack = np.stack(
+                [np.concatenate(sampler.sample(i + j), -1) for j in range(k)]
+            )
+            if mode == "joint":
+                state, depth_state, ms = multi(state, depth_state, stack, base_key, i)
+                self.params = state.params._replace(depth=depth_state.params)
+            elif mode == "depth_net":
+                state, ms = multi(state, stack, base_key, i)
+                self.params = frozen_nerf._replace(depth=state.params)
+            else:
+                state, ms = multi(state, stack, base_key, i)
+                self.params = state.params._replace(depth=None)
+            ms_host = jax.device_get(ms)
+            for j in range(k):
+                timer.tick()
+                self.global_step = i + j
+                metrics = {kk: vv[j] for kk, vv in ms_host.items()}
+                self.log(i + j, metrics, state, timer)
+                if self._stop_early:
+                    break
+            pbar.update(k)
+            i += k
+        pbar.close()
         final = metrics.get("psnr")
         return float(final) if final is not None else 0.0
 

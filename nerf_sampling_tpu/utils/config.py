@@ -128,6 +128,11 @@ class TrainerConfig:
 
     # execution backend for the NeRF MLP ("xla" | "pallas"; see Pipeline)
     mlp_impl: str = "xla"
+    # train steps fused into one dispatch via lax.scan (steps.make_multi_step).
+    # 0 = auto: the largest divisor of the logging cadences <= 32 on a real
+    # accelerator (per-step dispatch through the remote tunnel costs
+    # milliseconds), 1 on cpu / under a mesh / when profiling.
+    steps_per_dispatch: int = 0
     # XLA-path matmul precision: "highest" (fp32 parity) | "high" | "default"
     # (bf16 MXU — faster training at slightly noisier depth targets)
     matmul_precision: str = "highest"

@@ -191,6 +191,68 @@ class TestSteps:
         assert losses[-1] < losses[0] * 0.7, losses[::10]
 
 
+    def test_multi_step_matches_sequential(self):
+        """make_multi_step(K) is bit-identical to K sequential steps with the
+        trainer's fold_in(base_key, i) key stream."""
+        from nerf_sampling_tpu.train import make_multi_step
+
+        p = tiny_pipeline()
+        params = tiny_bundle(p)._replace(depth=None)
+        opt = make_nerf_optimizer(5e-3, 250)
+        step = make_nerf_train_step(p, opt)
+        rng = np.random.default_rng(0)
+        K, N = 4, 16
+        stack = np.zeros((K, N, 9), np.float32)
+        stack[..., 2] = 4.0  # rays_o z
+        stack[..., 3:6] = rng.uniform(-0.3, 0.3, (K, N, 3))
+        stack[..., 5] = -1.0  # rays_d z
+        stack[..., 6:9] = rng.uniform(0, 1, (K, N, 3))
+        base_key = jax.random.PRNGKey(7)
+        i0 = 3
+
+        # the steps donate their state: each run needs its own param buffers
+        fresh = lambda: jax.tree.map(lambda x: jnp.array(np.asarray(x)), params)
+        seq_state = init_state(fresh(), opt)
+        seq_metrics = []
+        for j in range(K):
+            seq_state, m = step(
+                seq_state, jnp.asarray(stack[j]), jax.random.fold_in(base_key, i0 + j)
+            )
+            seq_metrics.append(float(m["loss"]))
+
+        multi = make_multi_step(step, n_states=1)
+        m_state, ms = multi(init_state(fresh(), opt), jnp.asarray(stack), base_key, i0)
+        assert int(m_state.step) == K
+        np.testing.assert_allclose(
+            np.asarray(ms["loss"]), np.asarray(seq_metrics), rtol=0, atol=0
+        )
+        for a, b in zip(jax.tree.leaves(seq_state.params), jax.tree.leaves(m_state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_multi_step_joint(self):
+        """Two-state (joint) variant runs and advances both states."""
+        from nerf_sampling_tpu.train import make_multi_step
+        from nerf_sampling_tpu.train.steps import make_joint_train_step
+
+        p = tiny_pipeline()
+        bundle = tiny_bundle(p)
+        n_opt = make_nerf_optimizer(5e-3, 250)
+        d_opt = make_depth_optimizer(1e-3)
+        step = make_joint_train_step(p, n_opt, d_opt)
+        ns = init_state(bundle._replace(depth=None), n_opt)
+        ds = init_state(bundle.depth, d_opt)
+        rng = np.random.default_rng(1)
+        stack = np.zeros((3, 8, 9), np.float32)
+        stack[..., 2] = 4.0
+        stack[..., 3:6] = rng.uniform(-0.2, 0.2, (3, 8, 3))
+        stack[..., 5] = -1.0
+        multi = make_multi_step(step, n_states=2)
+        ns2, ds2, ms = multi(ns, ds, jnp.asarray(stack), jax.random.PRNGKey(0), 1)
+        assert int(ns2.step) == 3 and int(ds2.step) == 3
+        assert np.asarray(ms["loss"]).shape == (3,)
+        assert np.all(np.isfinite(np.asarray(ms["loss"])))
+
+
 class TestDepthNetConvergence:
     def test_overfits_fixed_depths(self):
         """Reference tests/depth_network_test_mse.py: DepthNet overfits a few
