@@ -188,8 +188,11 @@ def _measure_tpu() -> float:
 
     def sync(out):
         # NB: on the axon backend block_until_ready can return at enqueue;
-        # only a device->host transfer guarantees completion.
-        return float(np.asarray(out["depth_net_rgb_map"])[0, 0, 0])
+        # only a device->host transfer guarantees completion. Read ONE
+        # element (device-side slice): np.asarray(full image) would ship
+        # 7.7 MB through the tunnel per rep (~170 ms — measured), timing
+        # the transport instead of the render.
+        return float(out["depth_net_rgb_map"][0, 0, 0])
 
     import jax.numpy as jnp
 

@@ -39,7 +39,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nerf_sampling_tpu.kernels import ops
 from nerf_sampling_tpu.kernels.fused_nerf import (
-    XDIM,
     _flatten_packed,
     _pe_matrices,
     pack_nerf_params,
@@ -54,17 +53,24 @@ def _default_tile(n_samples: int) -> int:
     at small S (measured +7%% at S=64); Mosaic fails to compile 256-lane
     plane ops at S>=192, so large S stays at 128."""
     return 256 if n_samples <= 64 else _RAYS_PER_TILE
+
+
+def _default_chunk_rows(tile: int) -> int:
+    """MLP rows per streamed chunk. Swept on-chip (scripts/
+    sweep_kernel_params.py): 128-lane tiles want 2048-row chunks (S=192:
+    600 vs 474 krays/s), 256-lane tiles want 1024 (2048 is slightly worse
+    and 512 fails to compile)."""
+    return 2048 if tile <= 128 else 1024
 _MAX_SAMPLES = 512  # VMEM plane budget (5 fp32 [S, R] planes at S=512 ~ 1.3 MB)
 MAX_FUSED_SAMPLES = _MAX_SAMPLES
 # Scoped-VMEM cap for the fused kernels (v5e has 128 MB physical VMEM;
 # Mosaic's 16 MB default forces serialization of the unrolled MLP chunks).
 TPU_VMEM_LIMIT = 100 * 1024 * 1024
-# MLP rows per streamed chunk (SC = CHUNK_ROWS / ray-tile sample rows).
-CHUNK_ROWS = 1024
 
 
 def _mlp_plane_loop(
-    cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w, scratch, heads="full"
+    cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w, scratch, heads="full",
+    chunk_rows=None,
 ):
     """Stream the MLP over sample chunks, filling [S, R] scratch planes.
 
@@ -79,21 +85,22 @@ def _mlp_plane_loop(
         (sigma_s,) = scratch
     else:
         sigma_s, r_s, g_s, b_s = scratch
-    SC = max(1, min(S, CHUNK_ROWS // R))
+    SC = max(1, min(S, (chunk_rows or _default_chunk_rows(R)) // R))
     while S % SC:
         SC //= 2
     n_chunks = S // SC
 
+    # pts = o + z*d makes every emb matmul affine in z: precompute the
+    # per-ray (A, B) pairs once per tile (ops.ray_affine_consts) so the
+    # chunk loop below is broadcast-FMA + trunk matmuls only — no per-chunk
+    # [*, 8] input build, PE matmul, or small-K emb passes.
+    consts = ops.ray_affine_consts(cfg, dtype, o, d, viewdirs, F, P, w, heads)
+
     def chunk(s0_static_or_dyn, SC):
         zc = z_read(s0_static_or_dyn, SC)  # [SC, R]
-        o_b = jnp.broadcast_to(o[None], (SC, R, 3))
-        d_b = jnp.broadcast_to(d[None], (SC, R, 3))
-        v_b = jnp.broadcast_to(viewdirs[None], (SC, R, 3))
-        pts = o_b + d_b * zc[..., None]
-        X32 = jnp.concatenate(
-            [pts, v_b, jnp.zeros((SC, R, XDIM - 6), acc)], axis=-1
-        ).reshape(SC * R, XDIM)
-        raw = ops.mlp_forward(cfg, dtype, X32, F, P, w, heads=heads)  # [SC*R, 4]
+        raw = ops.mlp_forward_affine(
+            cfg, dtype, zc, consts, w, heads=heads
+        )  # [SC*R, 4]
         sl = pl.ds(s0_static_or_dyn, SC)
         sigma_s[sl] = raw[:, 3].reshape(SC, R)
         if heads != "sigma":
@@ -130,6 +137,7 @@ def _kernel(
     std,
     refs,
     scratch,
+    chunk_rows=None,
 ):
     """z_source: "linspace" | "around_center" (static offsets input) |
     "input" (pre-transposed [S, N] z-values input) | "gaussian"
@@ -197,7 +205,7 @@ def _kernel(
 
     _mlp_plane_loop(
         cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w,
-        (sigma_s, r_s, g_s, b_s),
+        (sigma_s, r_s, g_s, b_s), chunk_rows=chunk_rows,
     )
 
     # --- compositing
@@ -220,16 +228,16 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "cfg", "dtype", "n_samples", "near", "far", "white_bkgd", "tile",
-        "interpret", "z_source", "lindisp", "std",
+        "interpret", "z_source", "lindisp", "std", "chunk_rows",
     ),
 )
 def _call(rays, z_arg, F, P, packed_flat, cfg, dtype, n_samples, near, far,
           white_bkgd, tile, interpret, z_source="linspace", lindisp=False,
-          std=0.0):
+          std=0.0, chunk_rows=None):
     def kern(*refs_and_scratch):
         refs, scratch = refs_and_scratch[:-5], refs_and_scratch[-5:]
         _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source,
-                lindisp, std, refs, scratch)
+                lindisp, std, refs, scratch, chunk_rows=chunk_rows)
 
     in_arrays = [rays]
     in_specs = [pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -326,6 +334,7 @@ def fused_render(
     dtype=jnp.bfloat16,
     tile: int | None = None,
     interpret: bool = False,
+    chunk_rows: int | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Deterministic-eval render of N rays in one fused kernel.
 
@@ -344,6 +353,7 @@ def fused_render(
     out = _call(
         rays, None, F, P, packed_flat, cfg, dtype, n_samples, float(near),
         float(far), bool(white_bkgd), tile, interpret, lindisp=bool(lindisp),
+        chunk_rows=chunk_rows,
     )[:, :n]
     return _maps_from_rows(out)
 

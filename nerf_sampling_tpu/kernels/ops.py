@@ -22,6 +22,116 @@ from nerf_sampling_tpu.models.nerf import NeRFConfig
 _ACC = jnp.float32
 
 
+def ray_affine_consts(
+    cfg: NeRFConfig, dtype, o, d, viewdirs, F, P, w, heads: str = "full"
+) -> dict:
+    """Per-ray-tile affine decomposition of every embedding consumer.
+
+    Sample points are affine in z (pts = o + z*d), so every matmul that
+    consumes the raw input X = [pts | viewdirs | 0] splits into per-ray
+    constants:  X @ M = (X_o @ M) + z * (X_d @ M)  with X_o = [o|viewdirs|0]
+    and X_d = [d|0|0]. Computing the (A, B) pairs ONCE per tile removes the
+    per-chunk [*, 8] input build (a lane relayout) and all small-K emb
+    matmul passes from the hot loop — the chunk loop is left with pure
+    broadcast-FMA VPU work plus one [*, PAD] @ [PAD, out] pass per consumer.
+
+    o/d/viewdirs: [R, 3] fp32. Returns {"pe": (AF+P, BF) [R, PAD] fp32,
+    "w0"/"skip{i}"/"views": (A, B) [R, out] fp32}.
+    """
+    acc = _ACC
+    R = o.shape[0]
+    pad = jnp.zeros((R, F.shape[0] - 6), acc)
+    X_o = jnp.concatenate([o, viewdirs, pad], axis=1)
+    X_d = jnp.concatenate(
+        [d, jnp.zeros((R, F.shape[0] - 3), acc)], axis=1
+    )
+    Xo_c, Xd_c = X_o.astype(dtype), X_d.astype(dtype)
+
+    def pair(wx_ref):
+        wx = wx_ref[:]
+        return (
+            jnp.dot(Xo_c, wx, preferred_element_type=acc),
+            jnp.dot(Xd_c, wx, preferred_element_type=acc),
+        )
+
+    consts = {
+        # fp32 PE argument (the sin phase needs full mantissa)
+        "pe": (jnp.dot(X_o, F, preferred_element_type=acc) + P,
+               jnp.dot(X_d, F, preferred_element_type=acc)),
+        "w0": pair(w["w0x"]),
+    }
+    for i, (wx_ref, _) in w["skip"].items():
+        consts[f"skip{i}"] = pair(wx_ref)
+    if heads != "sigma":
+        consts["views"] = pair(w["views_wx"])
+    return consts
+
+
+def mlp_forward_affine(
+    cfg: NeRFConfig,
+    dtype,
+    zc: jnp.ndarray,
+    consts: dict,
+    w: dict,
+    heads: str = "full",
+) -> jnp.ndarray:
+    """PE + NeRF MLP over a z chunk via the affine-in-z decomposition.
+
+    zc: [SC, R] fp32 sample depths; rows of the result are s-major
+    (row = s*R + r). Matches mlp_forward(X built from o + z*d) up to
+    fp32-vs-bf16 rounding of the raw-input contributions (the affine path
+    keeps them fp32 — slightly MORE precise). The z broadcast runs in
+    [SC, R, C] 3D form: Mosaic rejects the [SC, R] -> [SC*R, 1] shape cast,
+    but merging leading dims of [SC, R, C] is a supported (free) reshape.
+    """
+    acc = _ACC
+    SC, R = zc.shape
+    z3 = zc[:, :, None]  # [SC, R, 1]
+
+    def emb(key):
+        A, B = consts[key]
+        return (A[None] + z3 * B[None]).reshape(SC * R, A.shape[1])
+
+    AF, BF = consts["pe"]
+    S = jnp.sin(
+        (AF[None] + z3 * BF[None]).reshape(SC * R, AF.shape[1])
+    ).astype(dtype)
+
+    h = None
+    for i in range(cfg.D):
+        if i == 0:
+            z = jnp.dot(S, w["w0s"][:], preferred_element_type=acc) + emb("w0")
+        elif i in w["skip"]:
+            z = (
+                jnp.dot(h, w["trunk_w"][i][:], preferred_element_type=acc)
+                + jnp.dot(S, w["skip"][i][1][:], preferred_element_type=acc)
+                + emb(f"skip{i}")
+            )
+        else:
+            z = jnp.dot(h, w["trunk_w"][i][:], preferred_element_type=acc)
+        h = jax.nn.relu(z + w["trunk_b"][i][:]).astype(dtype)
+
+    alpha_part = jnp.dot(h, w["head_alpha4"][:], preferred_element_type=acc)
+    if heads == "sigma":
+        return alpha_part + w["head_b4"][:]
+
+    feature = (
+        jnp.dot(h, w["feature_w"][:], preferred_element_type=acc)
+        + w["feature_b"][:]
+    ).astype(dtype)
+    hv = jax.nn.relu(
+        jnp.dot(feature, w["views_wf"][:], preferred_element_type=acc)
+        + jnp.dot(S, w["views_ws"][:], preferred_element_type=acc)
+        + emb("views")
+        + w["views_b"][:]
+    ).astype(dtype)
+    return (
+        jnp.dot(hv, w["head_rgb4"][:], preferred_element_type=acc)
+        + alpha_part
+        + w["head_b4"][:]
+    )
+
+
 def unpack_wrefs(cfg: NeRFConfig, wrefs) -> dict:
     """Name the flat packed-weight ref sequence (fused_nerf._flatten_packed).
 
