@@ -116,7 +116,7 @@ def _bwd_kernel(cfg: NeRFConfig, dtype, n_w, refs):
         def _():
             ref[:] = ref[:] + val
 
-    # ---- forward recompute (mirrors ops.mlp_forward, keeping activations)
+    # ---- forward recompute (mirrors the fused-nerf kernel body, keeping activations)
     X32 = x_ref[:]
     F, P = F_ref[:], P_ref[:]
     A = jnp.dot(X32, F, preferred_element_type=_ACC) + P

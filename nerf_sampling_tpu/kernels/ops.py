@@ -153,67 +153,6 @@ def unpack_wrefs(cfg: NeRFConfig, wrefs) -> dict:
     return d
 
 
-def mlp_forward(
-    cfg: NeRFConfig,
-    dtype,
-    X32: jnp.ndarray,
-    F: jnp.ndarray,
-    P: jnp.ndarray,
-    w: dict,
-    heads: str = "full",
-) -> jnp.ndarray:
-    """PE + NeRF MLP on a [M, XDIM] fp32 input; returns fp32 [M, 4].
-
-    Matches models.nerf.nerf_apply(cat(PE(pts), PE(dirs))) up to compute
-    dtype. ``heads="sigma"`` skips the feature/views/rgb branch (cols 0-2
-    of the output are then meaningless) — used by coarse passes whose rgb
-    is never consumed (reference eval only reads coarse weights,
-    nerf_utils.py:788-835).
-
-    ``w`` is the dict from unpack_wrefs (refs are read lazily here).
-    """
-    # fp32 PE: high frequencies need full mantissa for the phase
-    S32 = jnp.sin(jnp.dot(X32, F, preferred_element_type=_ACC) + P)
-    X = X32.astype(dtype)
-    S = S32.astype(dtype)
-
-    def emb_dot(wx_ref, ws_ref):
-        return jnp.dot(X, wx_ref[:], preferred_element_type=_ACC) + jnp.dot(
-            S, ws_ref[:], preferred_element_type=_ACC
-        )
-
-    h = None
-    for i in range(cfg.D):
-        if i == 0:
-            z = emb_dot(w["w0x"], w["w0s"])
-        elif i in w["skip"]:
-            z = jnp.dot(
-                h, w["trunk_w"][i][:], preferred_element_type=_ACC
-            ) + emb_dot(*w["skip"][i])
-        else:
-            z = jnp.dot(h, w["trunk_w"][i][:], preferred_element_type=_ACC)
-        h = jax.nn.relu(z + w["trunk_b"][i][:]).astype(dtype)
-
-    alpha_part = jnp.dot(h, w["head_alpha4"][:], preferred_element_type=_ACC)
-    if heads == "sigma":
-        return alpha_part + w["head_b4"][:]
-
-    feature = (
-        jnp.dot(h, w["feature_w"][:], preferred_element_type=_ACC)
-        + w["feature_b"][:]
-    ).astype(dtype)
-    hv = jax.nn.relu(
-        jnp.dot(feature, w["views_wf"][:], preferred_element_type=_ACC)
-        + emb_dot(w["views_wx"], w["views_ws"])
-        + w["views_b"][:]
-    ).astype(dtype)
-    return (
-        jnp.dot(hv, w["head_rgb4"][:], preferred_element_type=_ACC)
-        + alpha_part
-        + w["head_b4"][:]
-    )
-
-
 # ---------------------------------------------------------------------------
 # axis-0 (sample-axis) scans and reductions — Mosaic-safe formulations
 # ---------------------------------------------------------------------------
