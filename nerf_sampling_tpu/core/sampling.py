@@ -92,7 +92,13 @@ def sample_pdf(
             u = jax.random.uniform(key, cdf.shape[:-1] + (N_samples,))
 
     # Invert the CDF. searchsorted(side='right') == torch right=True.
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # method="compare_all": the default "scan" binary search runs 9 ms on
+    # a [1024, 128]x[1024, 64] batch on TPU (sequential log-steps); the
+    # vectorized compare matrix runs 1 ms (measured, scripts/
+    # ablate_xla_pieces.py) and B is small.
+    inds = jax.vmap(
+        lambda c, uu: jnp.searchsorted(c, uu, side="right", method="compare_all")
+    )(cdf, u)
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 

@@ -53,16 +53,15 @@ def _dotT(a, b):
     )
 
 
-def _dotNT(a, b_ref):
-    """a @ b^T contracting the trailing axes: [T, N], ref [M, N] -> [T, M].
+def _dotNT(a, bT_ref):
+    """a @ b^T as a plain matmul against a PRE-TRANSPOSED constant.
 
-    dot_general with both trailing dims contracted — no explicit transpose
-    (Mosaic relayouts are slow/fragile).
+    The backward needs w^T for every dL/dh hop; transposing inside the
+    kernel would relayout each [256, 256] weight in every one of the
+    hundreds of sequential grid programs, so _bwd_call ships transposed
+    copies as extra VMEM-resident constants instead.
     """
-    return jax.lax.dot_general(
-        a, b_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=_ACC,
-    )
+    return jnp.dot(a, bT_ref[:], preferred_element_type=_ACC)
 
 
 def _colsum(x):
@@ -70,20 +69,31 @@ def _colsum(x):
     return jnp.dot(jnp.ones((1, x.shape[0]), _ACC), x, preferred_element_type=_ACC)
 
 
-def _bwd_kernel(cfg: NeRFConfig, dtype, n_w, refs):
+def _bwd_kernel(cfg: NeRFConfig, dtype, n_w, want_dx, refs):
     """Recompute-forward + backward for one [T, XDIM] row tile.
 
-    refs: x, g, F, P, *weights(n_w), dx, *dweights(n_w in the same order).
+    refs: x, g, F, P, *weights(n_w), *weightsT(n_w, 2-D entries
+    pre-transposed for the dL/dh hops), [dx,] *dweights(n_w, same order).
+    want_dx=False drops the whole dL/dx chain (the dX/dS hops and the sin
+    backward) — the hierarchical train losses never differentiate w.r.t.
+    the sample points (z is detached per the reference, o/d are data), and
+    the chain is a measurable slice of the backward's matmul passes.
     """
     x_ref, g_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
     wrefs = refs[4 : 4 + n_w]
-    dx_ref = refs[4 + n_w]
-    dwrefs = refs[5 + n_w :]
+    wTrefs = refs[4 + n_w : 4 + 2 * n_w]
+    if want_dx:
+        dx_ref = refs[4 + 2 * n_w]
+        dwrefs = refs[5 + 2 * n_w :]
+    else:
+        dx_ref = None
+        dwrefs = refs[4 + 2 * n_w :]
     assert len(dwrefs) == n_w
 
     from nerf_sampling_tpu.kernels import ops
 
     w = ops.unpack_wrefs(cfg, wrefs)
+    wT = ops.unpack_wrefs(cfg, wTrefs)
     # name -> flat position (mirrors fused_nerf._flatten_packed)
     order: list[tuple] = [("w0x",), ("w0s",)]
     order += [("trunk_w", i) for i in range(1, cfg.D)]
@@ -162,21 +172,22 @@ def _bwd_kernel(cfg: NeRFConfig, dtype, n_w, refs):
     emit(("head_rgb4",), _dotT(hv, g16))
     emit(("head_alpha4",), _dotT(hs[-1], g16))
 
-    d_hv = _dotNT(g16, w["head_rgb4"])
+    d_hv = _dotNT(g16, wT["head_rgb4"])
     d_zv = jnp.where(zv > 0, d_hv, 0.0)
     d_zv16 = d_zv.astype(dtype)
     emit(("views_b",), _colsum(d_zv))
     emit(("views_wf",), _dotT(feature, d_zv16))
     emit(("views_wx",), _dotT(X, d_zv16))
     emit(("views_ws",), _dotT(S, d_zv16))
-    d_feature = _dotNT(d_zv16, w["views_wf"])
-    dX = _dotNT(d_zv16, w["views_wx"])
-    dS = _dotNT(d_zv16, w["views_ws"])
+    d_feature = _dotNT(d_zv16, wT["views_wf"])
+    if want_dx:
+        dX = _dotNT(d_zv16, wT["views_wx"])
+        dS = _dotNT(d_zv16, wT["views_ws"])
 
     emit(("feature_b",), _colsum(d_feature))
     emit(("feature_w",), _dotT(hs[-1], d_feature.astype(dtype)))
-    d_h = _dotNT(g16, w["head_alpha4"]) + _dotNT(
-        d_feature.astype(dtype), w["feature_w"]
+    d_h = _dotNT(g16, wT["head_alpha4"]) + _dotNT(
+        d_feature.astype(dtype), wT["feature_w"]
     )
 
     for i in range(cfg.D - 1, -1, -1):
@@ -187,39 +198,46 @@ def _bwd_kernel(cfg: NeRFConfig, dtype, n_w, refs):
         if i == 0:
             emit(("w0x",), _dotT(X, d_z16))
             emit(("w0s",), _dotT(S, d_z16))
-            dX = dX + _dotNT(d_z16, w["w0x"])
-            dS = dS + _dotNT(d_z16, w["w0s"])
+            if want_dx:
+                dX = dX + _dotNT(d_z16, wT["w0x"])
+                dS = dS + _dotNT(d_z16, wT["w0s"])
         elif i in w["skip"]:
-            wx, ws = w["skip"][i]
             emit(("trunk_w", i), _dotT(hs[i - 1], d_z16))
             emit(("skip_wx", i), _dotT(X, d_z16))
             emit(("skip_ws", i), _dotT(S, d_z16))
-            dX = dX + _dotNT(d_z16, wx)
-            dS = dS + _dotNT(d_z16, ws)
-            d_h = _dotNT(d_z16, w["trunk_w"][i])
+            if want_dx:
+                wxT, wsT = wT["skip"][i]
+                dX = dX + _dotNT(d_z16, wxT)
+                dS = dS + _dotNT(d_z16, wsT)
+            d_h = _dotNT(d_z16, wT["trunk_w"][i])
         else:
             emit(("trunk_w", i), _dotT(hs[i - 1], d_z16))
-            d_h = _dotNT(d_z16, w["trunk_w"][i])
+            d_h = _dotNT(d_z16, wT["trunk_w"][i])
 
-    # sin backward: S32 = sin(A), A = X32 @ F + P (fp32 end to end)
-    dA = dS * jnp.cos(A)
-    dx_ref[:] = dX + jax.lax.dot_general(
-        dA, F, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=_ACC,
-    )
+    if want_dx:
+        # sin backward: S32 = sin(A), A = X32 @ F + P (fp32 end to end)
+        dA = dS * jnp.cos(A)
+        dx_ref[:] = dX + jax.lax.dot_general(
+            dA, F, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=_ACC,
+        )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "dtype", "tile", "interpret")
+    jax.jit, static_argnames=("cfg", "dtype", "tile", "interpret", "want_dx")
 )
-def _bwd_call(x, g, F, P, packed_flat, cfg, dtype, tile, interpret):
+def _bwd_call(x, g, F, P, packed_flat, cfg, dtype, tile, interpret,
+              want_dx=True):
     n_w = len(packed_flat)
 
     def kern(*refs):
-        _bwd_kernel(cfg, dtype, n_w, refs)
+        _bwd_kernel(cfg, dtype, n_w, want_dx, refs)
 
     n = x.shape[0]
-    consts = (F, P) + tuple(packed_flat)
+    # transposed copies for the dL/dh hops (see _dotNT); 1-D biases are
+    # never _dotNT'd — pass them through so unpack_wrefs sees one layout
+    packed_T = tuple(w.T if w.ndim == 2 else w for w in packed_flat)
+    consts = (F, P) + tuple(packed_flat) + packed_T
     const_specs = [
         pl.BlockSpec(w.shape, lambda i, nd=len(w.shape): (0,) * nd,
                      memory_space=pltpu.VMEM)
@@ -236,6 +254,12 @@ def _bwd_call(x, g, F, P, packed_flat, cfg, dtype, tile, interpret):
                      memory_space=pltpu.VMEM)
         for s in dw_shapes
     ]
+    dx_specs = (
+        [pl.BlockSpec((tile, XDIM), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        if want_dx
+        else []
+    )
+    dx_shapes = [jax.ShapeDtypeStruct((n, XDIM), jnp.float32)] if want_dx else []
     out = pl.pallas_call(
         kern,
         grid=(n // tile,),
@@ -244,15 +268,15 @@ def _bwd_call(x, g, F, P, packed_flat, cfg, dtype, tile, interpret):
             pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
         + const_specs,
-        out_specs=[
-            pl.BlockSpec((tile, XDIM), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        + dw_specs,
-        out_shape=[jax.ShapeDtypeStruct((n, XDIM), jnp.float32)] + dw_shapes,
+        out_specs=dx_specs + dw_specs,
+        out_shape=dx_shapes + dw_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=TPU_VMEM_LIMIT),
         interpret=interpret,
     )(x, g, *consts)
-    dx, dws = out[0], out[1:]
+    if want_dx:
+        dx, dws = out[0], out[1:]
+    else:
+        dx, dws = jnp.zeros_like(x), out
     # restore 1-D bias shapes
     dws = tuple(
         dw.reshape(w.shape).astype(w.dtype)
@@ -261,23 +285,23 @@ def _bwd_call(x, g, F, P, packed_flat, cfg, dtype, tile, interpret):
     return dx, dws
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _packed_apply(packed_flat, x, cfg, dtype, tile, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _packed_apply(packed_flat, x, cfg, dtype, tile, interpret, want_dx):
     F, P = _pe_matrices_cached(cfg)
     return _fused_call(x, F, P, tuple(packed_flat), cfg, dtype, tile, interpret)
 
 
-def _packed_apply_fwd(packed_flat, x, cfg, dtype, tile, interpret):
-    out = _packed_apply(packed_flat, x, cfg, dtype, tile, interpret)
+def _packed_apply_fwd(packed_flat, x, cfg, dtype, tile, interpret, want_dx):
+    out = _packed_apply(packed_flat, x, cfg, dtype, tile, interpret, want_dx)
     return out, (tuple(packed_flat), x)
 
 
-def _packed_apply_bwd(cfg, dtype, tile, interpret, res, g):
+def _packed_apply_bwd(cfg, dtype, tile, interpret, want_dx, res, g):
     packed_flat, x = res
     F, P = _pe_matrices_cached(cfg)
     dx, dws = _bwd_call(
         x, g.astype(jnp.float32), F, P, packed_flat, cfg, dtype, tile,
-        interpret,
+        interpret, want_dx=want_dx,
     )
     return dws, dx
 
@@ -307,6 +331,7 @@ def fused_nerf_train_apply(
     dtype=jnp.bfloat16,
     tile: int = _TILE,
     interpret: bool = False,
+    input_grads: bool = True,
 ) -> jnp.ndarray:
     """Differentiable PE + NeRF MLP on raw inputs (training path).
 
@@ -314,6 +339,11 @@ def fused_nerf_train_apply(
     w.r.t. ``params`` (all leaves, original pytree layout — jax transposes
     the packing transform) and w.r.t. ``pts``/``viewdirs`` (through the
     fp32 PE) come from the recompute backward kernel.
+
+    ``input_grads=False`` compiles a backward without the dL/dx chain and
+    returns ZERO input cotangents — only valid when the loss does not
+    differentiate through pts/viewdirs (true for the hierarchical train
+    losses: z is detached per the reference, rays are data).
     """
     batch_shape = pts.shape[:-1]
     pts_flat = pts.reshape(-1, 3).astype(jnp.float32)
@@ -331,5 +361,7 @@ def fused_nerf_train_apply(
 
     packed = pack_nerf_params(params, cfg, multires, multires_views, dtype)
     packed_flat = tuple(_flatten_packed(packed))
-    out = _packed_apply(packed_flat, x, cfg, dtype, tile, interpret)
+    out = _packed_apply(
+        packed_flat, x, cfg, dtype, tile, interpret, bool(input_grads)
+    )
     return out[:n].reshape(*batch_shape, 4)

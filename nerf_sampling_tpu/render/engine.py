@@ -174,6 +174,10 @@ def query_nerf(
             pipeline.multires,
             pipeline.multires_views,
             interpret=jax.default_backend() == "cpu",
+            # the hierarchical losses never differentiate through the
+            # sample points (z detached per reference Trainer.py:572, rays
+            # are data) — skip the backward's whole dL/dx chain
+            input_grads=False,
         )
     if viewdirs is not None:
         dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
@@ -256,6 +260,9 @@ def sample_as_in_nerf(
         det=(perturb == 0.0),
     )
     z_samples = jax.lax.stop_gradient(z_samples)  # reference detaches (:572)
+    # NB the [N, 192] union sort is ~1.4 ms — NOT a bottleneck (a sort-free
+    # order-statistics + compare-count-merge variant measured no faster;
+    # scripts/ablate_xla_pieces.py). The step's XLA pig was searchsorted.
     fine_z = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
     fine_pts = z_to_points(rays.rays_o, rays.rays_d, fine_z)
     fine_params = params.fine if params.fine is not None else params.coarse

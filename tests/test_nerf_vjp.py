@@ -87,3 +87,27 @@ def test_forward_matches_inference_kernel(rng):
         params, cfg, pts, vd[:, None, :], dtype=jnp.float32, interpret=True
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_input_grads_false_matches_param_grads(rng):
+    """input_grads=False must return IDENTICAL param grads (it only drops
+    the dL/dx chain) and zero input cotangents."""
+    cfg = NeRFConfig(D=8, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+                     skips=(4,), use_viewdirs=True)
+    params = nerf_init(jax.random.PRNGKey(0), cfg)
+    pts, vd = make_inputs(rng)
+    wmat = jnp.asarray(rng.standard_normal((96, 2, 4)).astype(np.float32))
+
+    def loss(params, pts, ig):
+        raw = fused_nerf_train_apply(
+            params, cfg, pts, vd[:, None, :], dtype=jnp.float32,
+            interpret=True, input_grads=ig,
+        )
+        return jnp.sum(raw * wmat)
+
+    gp_t, gx_t = jax.grad(loss, argnums=(0, 1))(params, pts, True)
+    gp_f, gx_f = jax.grad(loss, argnums=(0, 1))(params, pts, False)
+    for a, b in zip(jax.tree.leaves(gp_t), jax.tree.leaves(gp_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(jnp.abs(gx_t).max()) > 0  # the true dx is nonzero here
+    np.testing.assert_array_equal(np.asarray(gx_f), 0.0)
