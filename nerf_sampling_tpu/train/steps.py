@@ -228,7 +228,9 @@ def make_nerf_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_multi_step(step_fn: Callable, n_states: int = 1) -> Callable:
+def make_multi_step(
+    step_fn: Callable, n_states: int = 1, with_const: bool = False
+) -> Callable:
     """Fuse many train steps into ONE dispatch via lax.scan.
 
     Per-step host dispatch through the remote-tunneled backend costs
@@ -240,13 +242,36 @@ def make_multi_step(step_fn: Callable, n_states: int = 1) -> Callable:
 
     step_fn: (state, batch, key) -> (state, metrics)            [n_states=1]
              (s1, s2, batch, key) -> (s1, s2, metrics)          [n_states=2]
-    Returns a jitted fn taking (states..., batches [K, ...], base_key,
-    i0) and returning (states..., metrics stacked [K, ...]).
+             (const, state, batch, key) -> (state, metrics)     [with_const]
+    Returns a jitted fn taking ([const,] states..., batches [K, ...],
+    base_key, i0) and returning (states..., metrics stacked [K, ...]).
+
+    ``with_const`` threads a loop-invariant pytree (e.g. the frozen NeRF of
+    the depth-net step) through the scan as a regular argument: its
+    host->device transfer and ~270-leaf argument processing amortize over
+    the K fused steps, and — unlike closing the params over the trace as
+    compile-time constants — the compiled program is checkpoint-independent,
+    so switching NeRF checkpoints costs nothing (the frozen-constants
+    single-step path pays a multi-minute remote recompile per checkpoint).
     """
 
     def keys_for(base_key, i0, k):
         idx = jnp.arange(k, dtype=jnp.int32) + jnp.asarray(i0, jnp.int32)
         return jax.vmap(lambda j: jax.random.fold_in(base_key, j))(idx)
+
+    if with_const:
+        if n_states != 1:
+            raise ValueError("with_const supports n_states=1 only")
+
+        def multi_c(const, state, batches, base_key, i0):
+            keys = keys_for(base_key, i0, batches.shape[0])
+
+            def body(carry, xs):
+                return step_fn(const, carry, xs[0], xs[1])
+
+            return jax.lax.scan(body, state, (batches, keys))
+
+        return jax.jit(multi_c, donate_argnums=(1,))
 
     if n_states == 1:
 

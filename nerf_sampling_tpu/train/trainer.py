@@ -14,6 +14,7 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from nerf_sampling_tpu.core.metrics import to8b
@@ -256,6 +257,7 @@ class Trainer:
             seed=cfg.seed,
         )
 
+        n_scan = self._resolve_scan_steps(N_iters)
         depth_state = None
         if cfg.train_mode == "depth_net":
             optimizer = make_depth_optimizer(cfg.depth_net_lr)
@@ -266,6 +268,12 @@ class Trainer:
                 step_fn = make_sharded_depth_train_step(
                     self.pipeline, optimizer, self.mesh
                 )
+            elif n_scan > 1:
+                # scanned path: the frozen NeRF rides as a loop-invariant
+                # ARGUMENT (processed once per K-step dispatch), so the
+                # compiled program is checkpoint-independent — no
+                # multi-minute recompile when the NeRF checkpoint changes
+                step_fn = make_depth_net_train_step(self.pipeline, optimizer)
             else:
                 step_fn = make_depth_net_train_step(
                     self.pipeline, optimizer, frozen_nerf=self.params
@@ -338,7 +346,6 @@ class Trainer:
                 frozen_nerf, replicated_sharding(self.mesh)
             )
 
-        n_scan = self._resolve_scan_steps(N_iters)
         if n_scan > 1:
             return self._train_scanned(
                 step_fn, state, depth_state, sampler, base_key, N_iters,
@@ -436,7 +443,16 @@ class Trainer:
         """
         cfg = self.cfg
         mode = cfg.train_mode
-        multi = make_multi_step(step_fn, n_states=2 if mode == "joint" else 1)
+        depth_mode = mode == "depth_net"
+        multi = make_multi_step(
+            step_fn,
+            n_states=2 if mode == "joint" else 1,
+            with_const=depth_mode,
+        )
+        if depth_mode:
+            # ship the frozen NeRF once; the same committed buffers are
+            # passed every dispatch (no per-chunk retransfer)
+            frozen_nerf = jax.tree.map(jnp.asarray, frozen_nerf)
         from tqdm import tqdm
 
         metrics: dict[str, Any] = {}
@@ -450,8 +466,8 @@ class Trainer:
             if mode == "joint":
                 state, depth_state, ms = multi(state, depth_state, stack, base_key, i)
                 self.params = state.params._replace(depth=depth_state.params)
-            elif mode == "depth_net":
-                state, ms = multi(state, stack, base_key, i)
+            elif depth_mode:
+                state, ms = multi(frozen_nerf, state, stack, base_key, i)
                 self.params = frozen_nerf._replace(depth=state.params)
             else:
                 state, ms = multi(state, stack, base_key, i)

@@ -229,6 +229,42 @@ class TestSteps:
         for a, b in zip(jax.tree.leaves(seq_state.params), jax.tree.leaves(m_state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_multi_step_with_const_matches_frozen(self):
+        """The scanned depth step with the frozen NeRF as a loop-invariant
+        ARGUMENT (checkpoint-independent compile) must match sequential
+        steps of the frozen-as-constants variant exactly."""
+        from nerf_sampling_tpu.train import make_multi_step
+
+        p = tiny_pipeline()
+        bundle = tiny_bundle(p)
+        nerf_only = bundle._replace(depth=None)
+        opt = make_depth_optimizer(1e-3)
+        rng = np.random.default_rng(2)
+        K, N = 3, 16
+        stack = np.zeros((K, N, 9), np.float32)
+        stack[..., 2] = 4.0
+        stack[..., 3:6] = rng.uniform(-0.2, 0.2, (K, N, 3))
+        stack[..., 5] = -1.0
+        stack[..., 6:9] = rng.uniform(0, 1, (K, N, 3))
+        base_key = jax.random.PRNGKey(5)
+
+        fresh = lambda: jax.tree.map(lambda x: jnp.array(np.asarray(x)), bundle.depth)
+        frozen_step = make_depth_net_train_step(p, opt, frozen_nerf=bundle)
+        seq = init_state(fresh(), opt)
+        for j in range(K):
+            seq, m = frozen_step(
+                seq, jnp.asarray(stack[j]), jax.random.fold_in(base_key, 1 + j)
+            )
+
+        arg_step = make_depth_net_train_step(p, opt)  # nerf as argument
+        multi = make_multi_step(arg_step, n_states=1, with_const=True)
+        ms_state, ms = multi(
+            nerf_only, init_state(fresh(), opt), jnp.asarray(stack), base_key, 1
+        )
+        assert np.asarray(ms["loss"]).shape == (K,)
+        for a, b in zip(jax.tree.leaves(seq.params), jax.tree.leaves(ms_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
     def test_multi_step_joint(self):
         """Two-state (joint) variant runs and advances both states."""
         from nerf_sampling_tpu.train import make_multi_step
