@@ -409,17 +409,16 @@ class Trainer:
         import math
 
         cfg = self.cfg
-        if cfg.steps_per_dispatch == 1:
-            return 1
         if (
             self.mesh is not None
             or cfg.profile_dir is not None
-            or jax.default_backend() == "cpu"
             or N_iters - self.start <= 2
         ):
             return 1
-        if cfg.steps_per_dispatch > 1:
+        if cfg.steps_per_dispatch >= 1:  # explicit setting wins (any backend)
             return cfg.steps_per_dispatch
+        if jax.default_backend() == "cpu":
+            return 1
         g = math.gcd(
             math.gcd(cfg.i_print, cfg.i_weights),
             math.gcd(cfg.i_testset, cfg.i_video),
@@ -457,12 +456,16 @@ class Trainer:
 
         metrics: dict[str, Any] = {}
         pbar = tqdm(total=N_iters - 1 - self.start)
-        i = self.start + 1
-        while i < N_iters and not self._stop_early:
-            k = min(n_scan, N_iters - i)
-            stack = np.stack(
-                [np.concatenate(sampler.sample(i + j), -1) for j in range(k)]
+
+        def build_stack(i0: int, k: int) -> np.ndarray:
+            return np.stack(
+                [np.concatenate(sampler.sample(i0 + j), -1) for j in range(k)]
             )
+
+        i = self.start + 1
+        k = min(n_scan, N_iters - i)
+        stack = build_stack(i, k)
+        while i < N_iters and not self._stop_early:
             if mode == "joint":
                 state, depth_state, ms = multi(state, depth_state, stack, base_key, i)
                 self.params = state.params._replace(depth=depth_state.params)
@@ -472,6 +475,12 @@ class Trainer:
             else:
                 state, ms = multi(state, stack, base_key, i)
                 self.params = state.params._replace(depth=None)
+            # sample the NEXT chunk before the metrics read: the host-side
+            # pixel sampling overlaps the device's async execution of this
+            # chunk instead of adding to the critical path
+            k_next = min(n_scan, N_iters - (i + k))
+            if k_next > 0:
+                stack = build_stack(i + k, k_next)
             ms_host = jax.device_get(ms)
             for j in range(k):
                 timer.tick()
@@ -482,6 +491,7 @@ class Trainer:
                     break
             pbar.update(k)
             i += k
+            k = k_next
         pbar.close()
         final = metrics.get("psnr")
         return float(final) if final is not None else 0.0

@@ -397,6 +397,38 @@ class TestTrainerE2E:
         assert os.path.exists(os.path.join(out_dir, "psnr.txt"))
 
 
+    def test_scanned_trainer_loop(self, tmp_path):
+        """The scanned train loop (explicit steps_per_dispatch, CPU) drives
+        both modes end-to-end: checkpoints land on cadence, metrics finite,
+        and the depth mode uses the checkpoint-independent const-arg path."""
+        datadir = generate_example_dataset(
+            str(tmp_path / "data"), H=16, W=16, n_train=3, n_val=1, n_test=1
+        )
+        common = dict(
+            dataset_type="blender", datadir=datadir,
+            basedir=str(tmp_path / "logs"), half_res=False, testskip=1,
+            N_rand=32, N_samples=8, N_importance=8, netdepth=3, netwidth=32,
+            netdepth_fine=3, netwidth_fine=32, n_layers=2, layer_width=16,
+            i_print=10, i_weights=20, i_testset=10_000, i_video=10_000_000,
+            lrate=5e-3, steps_per_dispatch=5,
+        )
+        t1 = Trainer(TrainerConfig(
+            expname="nerf_scan", train_mode="nerf",
+            train_depth_net_only=False, **common,
+        ))
+        psnr = t1.train(N_iters=21)
+        assert np.isfinite(psnr)
+        assert os.path.exists(os.path.join(t1.expdir, "000020.npz"))
+
+        t2 = Trainer(TrainerConfig(
+            expname="depth_scan", train_mode="depth_net",
+            ft_path=os.path.join(t1.expdir, "000020.npz"), **common,
+        ))
+        psnr2 = t2.train(N_iters=21)
+        assert np.isfinite(psnr2)
+        assert os.path.exists(os.path.join(t2.expdir, "depth_000020.npz"))
+
+
 class TestJointTraining:
     def test_joint_step_updates_both(self):
         """Both NeRF and DepthNet must change under the joint step (the
