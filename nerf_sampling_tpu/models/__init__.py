@@ -7,7 +7,12 @@ of (params, inputs). This keeps the torch-checkpoint name mapping trivial
 consume stacked weight tensors directly.
 """
 
-from nerf_sampling_tpu.models.nerf import NeRFConfig, nerf_apply, nerf_init
+from nerf_sampling_tpu.models.nerf import (
+    NeRFConfig,
+    nerf_apply,
+    nerf_init,
+    nerf_init_active,
+)
 from nerf_sampling_tpu.models.depth_net import (
     DepthNetConfig,
     depth_net_apply,
@@ -21,4 +26,5 @@ __all__ = [
     "depth_net_init",
     "nerf_apply",
     "nerf_init",
+    "nerf_init_active",
 ]

@@ -63,6 +63,29 @@ def nerf_init(key: jax.Array, cfg: NeRFConfig) -> dict:
     return params
 
 
+def nerf_init_active(
+    key: jax.Array, cfg: NeRFConfig, w_scale: float = 50.0, b_shift: float = 2.6
+) -> dict:
+    """nerf_init with a scaled/shifted alpha head so renders have density.
+
+    A plain random init emits sigma ~ N(-0.05, 0.009) — 100% NEGATIVE, so
+    relu zeroes every density and any render of it is the pure white
+    background: comparing two renders of a random-init NeRF is vacuous
+    (white == white regardless of kernel bugs). This init yields ~55%
+    positive sigma (std ~0.45), so alpha compositing, weights, argmax
+    diagnostics, and depth/disp maps are all non-trivial — use it for
+    kernel-equivalence tests and on-chip validation.
+    """
+    params = nerf_init(key, cfg)
+    head = "alpha_linear" if cfg.use_viewdirs else "output_linear"
+    lin = dict(params[head])
+    lin["weight"] = lin["weight"] * w_scale
+    lin["bias"] = lin["bias"] * w_scale + b_shift
+    params = dict(params)
+    params[head] = lin
+    return params
+
+
 def nerf_apply(params: dict, cfg: NeRFConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Evaluate the MLP on embedded inputs [..., input_ch + input_ch_views].
 

@@ -26,7 +26,7 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-from nerf_sampling_tpu.models import NeRFConfig, nerf_init  # noqa: E402
+from nerf_sampling_tpu.models import NeRFConfig, nerf_init_active  # noqa: E402
 
 
 def sync(x) -> float:
@@ -52,7 +52,7 @@ def main() -> None:
         D=8, W=256, input_ch=63, input_ch_views=27, output_ch=5,
         skips=(4,), use_viewdirs=True,
     )
-    params = nerf_init(jax.random.PRNGKey(0), cfg)
+    params = nerf_init_active(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     ro = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (n, 1))
     rd = (rng.standard_normal((n, 3)) * 0.2).astype(np.float32)

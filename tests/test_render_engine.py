@@ -39,11 +39,16 @@ def tiny_pipeline(**kw) -> Pipeline:
 
 
 def tiny_params(pipeline: Pipeline) -> NeRFParams:
+    # active-density init: a plain random init has 100% negative sigma, so
+    # every render is the pure white background and any cross-path
+    # equivalence assertion would be vacuous (white == white)
+    from nerf_sampling_tpu.models import nerf_init_active
+
     k = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(k, 3)
     return NeRFParams(
-        coarse=nerf_init(k1, pipeline.nerf),
-        fine=nerf_init(k2, pipeline.fine) if pipeline.fine else None,
+        coarse=nerf_init_active(k1, pipeline.nerf),
+        fine=nerf_init_active(k2, pipeline.fine) if pipeline.fine else None,
         depth=depth_net_init(k3, pipeline.depth) if pipeline.depth else None,
     )
 
