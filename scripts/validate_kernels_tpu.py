@@ -4,6 +4,16 @@ Run on the real TPU (NOT under the test suite's CPU pin). Each section
 prints one line; timings are medians of per-rep device->host-synced runs
 (block_until_ready can return at enqueue on the axon backend).
 
+Interpreting the hier-vs-XLA error on a RANDOM density field: the kernel
+computes the CDF with a Hillis-Steele log-step cumsum (different fp32
+summation ORDER than XLA's cumsum) and Mosaic's sin/exp approximations
+differ from XLA's, so near-tie CDF bins flip and fine z samples land in
+different bins at some rays — measured rgb mae ~0.01-0.02 with isolated
+large per-ray maxima on the chaotic nerf_init_active field, IDENTICAL in
+fp32 and bf16 kernels (i.e. reordering, not dtype). On smooth TRAINED
+fields the paths agree to < 0.01 dB PSNR; bit-aligned semantics are
+checked by the CPU interpret-mode suite (3e-4).
+
 Usage: python scripts/validate_kernels_tpu.py [n_rays]
 """
 
