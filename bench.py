@@ -166,13 +166,20 @@ def _measure_tpu() -> float:
 
     import numpy as np
 
-    from nerf_sampling_tpu.models import nerf_init
+    from nerf_sampling_tpu.models.nerf import nerf_init_active
     from nerf_sampling_tpu.render import EvalMode, NeRFParams, render_image
     from nerf_sampling_tpu.utils.config import TrainerConfig
 
     cfg = TrainerConfig(N_samples=N_SAMPLES, N_importance=0, mlp_impl="pallas")
     pipeline = cfg.pipeline(with_depth=False)
-    params = NeRFParams(coarse=nerf_init(jax.random.PRNGKey(0), pipeline.nerf))
+    # nerf_init_active, not nerf_init: default init is density-dead (every
+    # ray composites to the white background), which made the r1/r2 bench
+    # render a constant image. Throughput is shape-static either way, but
+    # the headline number should come from a non-trivial field — and the
+    # structure assert below would be vacuous otherwise.
+    params = NeRFParams(
+        coarse=nerf_init_active(jax.random.PRNGKey(0), pipeline.nerf)
+    )
 
     focal = 0.5 * W / 0.3566  # tan(0.5 * camera_angle_x)
     # Host-side constants: closing device arrays over a jit makes lowering
@@ -198,7 +205,13 @@ def _measure_tpu() -> float:
 
     key = jax.random.PRNGKey(0)
     out = render(params, key)  # compile + warm up
-    assert bool(jnp.isfinite(out["depth_net_rgb_map"]).all())
+    img = out["depth_net_rgb_map"]
+    assert bool(jnp.isfinite(img).all())
+    # non-vacuity: the rendered field must have actual structure, not a
+    # constant background (the r2 bench's density-dead init rendered white)
+    img_std = float(jnp.std(img))
+    assert img_std > 0.01, f"rendered image is ~constant (std={img_std})"
+    print(f"[bench] rendered image std: {img_std:.4f}", file=sys.stderr)
     sync(out)
 
     # Per-rep timing with a median: the tunneled TPU shows multi-x run-to-

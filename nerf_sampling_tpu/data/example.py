@@ -62,7 +62,11 @@ def _trace_rays(ro: np.ndarray, rd: np.ndarray, variant: str) -> np.ndarray:
         hit = disc > 0
         t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2.0, np.inf)
         closer = hit & (t > 1e-3) & (t < best_t)
-        p = ro + t[:, None] * d
+        # shade with a finite placeholder t for missing rays (their shading
+        # is discarded by the `closer` select below) — inf*d would put
+        # +inf/-inf into p and make the lambert dot reduce emit NaN
+        # RuntimeWarnings that pollute clean artifacts
+        p = ro + np.where(np.isfinite(t), t, 0.0)[:, None] * d
         n = (p - center) / radius
         if base is None:  # classic variant: normal-keyed color
             albedo = 0.5 + 0.5 * n

@@ -146,12 +146,20 @@ def query_nerf(
     cfg: NeRFConfig,
     pts: jnp.ndarray,
     viewdirs: jnp.ndarray | None,
+    *,
+    input_grads: bool = True,
 ) -> jnp.ndarray:
     """Embed points (+dirs) and evaluate one NeRF MLP.
 
     Equivalent of reference run_network (Trainer.py:789-806) minus the
     netchunk loop — under jit the whole [N*S, feat] batch is one fused
     matmul chain on the MXU; memory is bounded by the caller's ray tiling.
+
+    ``input_grads=False`` lets the Pallas custom-VJP path skip the whole
+    dL/d(pts, viewdirs) chain in its backward kernel. It is ONLY valid
+    when the loss does not differentiate through the inputs; callers that
+    might (e.g. the depth-point query driving DepthNet gradients) must
+    keep the default True.
     """
     if (
         pipeline.mlp_impl == "pallas"
@@ -160,8 +168,9 @@ def query_nerf(
         and pipeline.i_embed != -1
     ):
         # the custom-VJP variant: forward-identical to the inference kernel,
-        # and differentiable w.r.t. params AND inputs (recompute backward
-        # kernel) — training steps can stay on the fused path end to end
+        # differentiable w.r.t. params always, and w.r.t. pts/viewdirs when
+        # input_grads=True (recompute backward kernel) — training steps can
+        # stay on the fused path end to end
         from nerf_sampling_tpu.kernels.fused_nerf_vjp import (
             fused_nerf_train_apply,
         )
@@ -174,10 +183,7 @@ def query_nerf(
             pipeline.multires,
             pipeline.multires_views,
             interpret=jax.default_backend() == "cpu",
-            # the hierarchical losses never differentiate through the
-            # sample points (z detached per reference Trainer.py:572, rays
-            # are data) — skip the backward's whole dL/dx chain
-            input_grads=False,
+            input_grads=input_grads,
         )
     if viewdirs is not None:
         dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
@@ -242,7 +248,13 @@ def sample_as_in_nerf(
         lindisp=pipeline.lindisp,
     )
     pts = z_to_points(rays.rays_o, rays.rays_d, z_vals)
-    raw = query_nerf(pipeline, params.coarse, pipeline.nerf, pts, rays.viewdirs)
+    # the hierarchical losses never differentiate through the sample points
+    # (z detached per reference Trainer.py:572, rays are data) — let the
+    # Pallas backward drop its dL/dx chain
+    raw = query_nerf(
+        pipeline, params.coarse, pipeline.nerf, pts, rays.viewdirs,
+        input_grads=False,
+    )
     coarse = raw2outputs(
         raw, z_vals, rays.rays_d, raw_noise_std, pipeline.white_bkgd, key=k_noise_c
     )
@@ -267,7 +279,10 @@ def sample_as_in_nerf(
     fine_pts = z_to_points(rays.rays_o, rays.rays_d, fine_z)
     fine_params = params.fine if params.fine is not None else params.coarse
     fine_cfg = pipeline.fine if params.fine is not None else pipeline.nerf
-    fine_raw = query_nerf(pipeline, fine_params, fine_cfg, fine_pts, rays.viewdirs)
+    fine_raw = query_nerf(
+        pipeline, fine_params, fine_cfg, fine_pts, rays.viewdirs,
+        input_grads=False,
+    )
     fine = raw2outputs(
         fine_raw, fine_z, rays.rays_d, raw_noise_std, pipeline.white_bkgd, key=k_noise_f
     )

@@ -40,6 +40,11 @@ from nerf_sampling_tpu.utils.config import TrainerConfig
 from nerf_sampling_tpu.utils.logging import MetricsLogger
 
 
+class TrialPruned(Exception):
+    """Raised by the HPO pruning hook when optuna itself is unavailable
+    (optuna's own TrialPruned is raised when it is installed)."""
+
+
 def _enable_compilation_cache() -> None:
     """Persist compiled executables across processes.
 
@@ -416,7 +421,25 @@ class Trainer:
         ):
             return 1
         if cfg.steps_per_dispatch >= 1:  # explicit setting wins (any backend)
-            return cfg.steps_per_dispatch
+            # ... but a chunk size that doesn't divide the logging cadences
+            # would hand log() END-of-chunk state at mid-chunk steps: a
+            # checkpoint labeled step m would hold params from step m+delta
+            # and resume from it would re-train applied steps. Round down to
+            # the largest divisor of gcd(cadences) instead.
+            g = math.gcd(
+                math.gcd(cfg.i_print, cfg.i_weights),
+                math.gcd(cfg.i_testset, cfg.i_video),
+            )
+            n = cfg.steps_per_dispatch
+            while g % n != 0:
+                n -= 1
+            if n != cfg.steps_per_dispatch:
+                print(
+                    f"[trainer] steps_per_dispatch={cfg.steps_per_dispatch} "
+                    f"does not divide the logging cadences (gcd {g}); "
+                    f"using {n} so checkpoints/logs stay step-exact"
+                )
+            return n
         if jax.default_backend() == "cpu":
             return 1
         g = math.gcd(
@@ -578,14 +601,18 @@ class Trainer:
 
         if i % cfg.i_print == 0:
             loss = float(metrics.get("loss", np.nan))
-            dn_loss = float(metrics.get("depth_net_loss", np.nan))
             psnr = float(metrics.get("psnr", np.nan))
-            info = (
-                f"Iter: {i} Loss: {loss}, Depth Net Loss: {dn_loss}, "
-                f"PSNR: {psnr:.5f}"
-            )
+            info = f"Iter: {i} Loss: {loss}"
+            scalars = {"Loss": loss, "Depth net PSNR": psnr}
+            # only print metrics the mode actually produces: nerf-mode steps
+            # emit no depth loss, and a hardcoded "Depth Net Loss: nan" line
+            # reads as a failure in the artifacts
+            if "depth_net_loss" in metrics:
+                dn_loss = float(metrics["depth_net_loss"])
+                info += f", Depth Net Loss: {dn_loss}"
+                scalars["Depth net loss"] = dn_loss
+            info += f", PSNR: {psnr:.5f}"
             print(info)
-            scalars = {"Loss": loss, "Depth net loss": dn_loss, "Depth net PSNR": psnr}
             if timer is not None:
                 scalars.update(timer.metrics())
             self.logger.log(scalars, i)
@@ -595,12 +622,23 @@ class Trainer:
                 self._report_trial(psnr, i)
 
     def _report_trial(self, psnr: float, step: int) -> None:
-        """optuna pruning hook (reference Trainer.py:393-398)."""
-        import optuna
+        """optuna pruning hook (reference Trainer.py:393-398).
 
+        Works with any trial-shaped object exposing report/should_prune —
+        optuna's Trial in a real study, or a stub in tests (optuna is
+        optional in this environment). Raises optuna's TrialPruned when
+        available so study.optimize records the prune; otherwise the local
+        TrialPruned subclass.
+        """
         self.trial.report(psnr, step)
         if self.trial.should_prune():
-            raise optuna.exceptions.TrialPruned()
+            try:
+                import optuna
+
+                exc = optuna.exceptions.TrialPruned
+            except ImportError:
+                exc = TrialPruned
+            raise exc()
 
     def save_checkpoint(self, i: int, state: TrainState, subdir: str = "") -> None:
         """subdir="best" writes the keep_best snapshot out of the resume

@@ -81,10 +81,15 @@ def plot_rays(rays_o, rays_d, near: float = 2, far: float = 6):
 
 def _plot_points(ax, ray_pts, s: int = 20, c=None):
     pts = np.asarray(ray_pts).reshape(-1, 3)
+    # cmap only applies to scalar mapping data; passing it with c=None or
+    # with an explicit RGB(A) color spec makes matplotlib warn that it
+    # will be ignored
+    kw = {}
     if c is not None and not isinstance(c, (tuple, list)):
         c = np.asarray(c).reshape(-1)
-    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=s, c=c, cmap="Reds",
-               depthshade=False)
+        kw["cmap"] = "Reds"
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=s, c=c, depthshade=False,
+               **kw)
     return ax
 
 

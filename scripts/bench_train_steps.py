@@ -61,20 +61,19 @@ def run_single(step, state, extra=()):
     return STEPS / (time.perf_counter() - t0)
 
 
-def run_multi(step, state, n_states=1, other=None):
-    multi = make_multi_step(step, n_states=n_states)
+def run_multi(step, state):
+    multi = make_multi_step(step, n_states=1)
     key = jax.random.PRNGKey(0)
     stack = jnp.asarray(batches(K))
-    if n_states == 1:
-        state, m = multi(state, stack, key, 0)
+    state, m = multi(state, stack, key, 0)
+    float(m["loss"][0])
+    t0 = time.perf_counter()
+    n = 0
+    for c in range(4):
+        state, m = multi(state, stack, key, c * K)
         float(m["loss"][0])
-        t0 = time.perf_counter()
-        n = 0
-        for c in range(4):
-            state, m = multi(state, stack, key, c * K)
-            float(m["loss"][0])
-            n += K
-        return n / (time.perf_counter() - t0)
+        n += K
+    return n / (time.perf_counter() - t0)
 
 
 def main():

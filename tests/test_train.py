@@ -514,6 +514,77 @@ class TestKeepBestEarlyStop:
         assert "000004.npz" in best  # best snapshot kept
 
 
+class _StubTrial:
+    """Trial-shaped object matching the optuna surface _report_trial uses
+    (report/should_prune) — lets the HPO pruning path run without optuna."""
+
+    def __init__(self, prune_after: int):
+        self.reports = []
+        self.prune_after = prune_after
+
+    def report(self, value, step):
+        self.reports.append((float(value), int(step)))
+
+    def should_prune(self):
+        return len(self.reports) >= self.prune_after
+
+
+class TestTrialPruning:
+    def _cfg(self, tmp_path, **over):
+        datadir = str(tmp_path / "scene")
+        generate_example_dataset(datadir, H=16, W=16, n_train=2, n_val=1, n_test=1)
+        base = dict(
+            dataset_type="blender", datadir=datadir,
+            basedir=str(tmp_path / "logs"), expname="hpo", train_mode="nerf",
+            netdepth=2, netwidth=16, netdepth_fine=2, netwidth_fine=16,
+            N_samples=4, N_importance=4, N_rand=8, half_res=False, testskip=1,
+            precrop_iters=0, i_print=2, i_weights=10**9, i_testset=10**9,
+            i_video=10**9, export_torch_ckpt=False,
+        )
+        base.update(over)
+        return TrainerConfig(**base)
+
+    def test_prunes_mid_train(self, tmp_path):
+        """The pruning hook (reference Trainer.py:393-398) reports PSNR at
+        the i_print cadence and raises TrialPruned when the trial says so."""
+        from nerf_sampling_tpu.train.trainer import TrialPruned
+
+        trial = _StubTrial(prune_after=2)
+        tr = Trainer(self._cfg(tmp_path), trial=trial)
+        with pytest.raises(TrialPruned):
+            tr.train(N_iters=11)
+        # reports landed at steps 2 and 4, then the prune fired
+        assert [s for _, s in trial.reports] == [2, 4]
+        assert all(np.isfinite(v) for v, _ in trial.reports)
+
+    def test_completes_without_prune(self, tmp_path):
+        trial = _StubTrial(prune_after=10**9)
+        tr = Trainer(self._cfg(tmp_path, expname="hpo2"), trial=trial)
+        psnr = tr.train(N_iters=7)
+        assert np.isfinite(psnr)
+        assert [s for _, s in trial.reports] == [2, 4, 6]
+
+
+class TestScanStepsResolution:
+    def test_explicit_value_rounded_to_cadence_divisor(self, tmp_path):
+        """An explicit steps_per_dispatch that doesn't divide the logging
+        cadences would let log() see end-of-chunk state mid-chunk; the
+        trainer rounds it down to a divisor of gcd(cadences)."""
+        cfg = TrainerConfig(
+            dataset_type="blender", datadir="unused", basedir=str(tmp_path),
+            expname="x", i_print=10, i_weights=20, i_testset=10, i_video=10,
+            steps_per_dispatch=7,
+        )
+        tr = Trainer(cfg)
+        assert tr._resolve_scan_steps(N_iters=1000) == 5  # 7 -> 5 | gcd=10
+        cfg2 = TrainerConfig(
+            dataset_type="blender", datadir="unused", basedir=str(tmp_path),
+            expname="x", i_print=10, i_weights=20, i_testset=10, i_video=10,
+            steps_per_dispatch=5,
+        )
+        assert Trainer(cfg2)._resolve_scan_steps(N_iters=1000) == 5  # kept
+
+
 class TestHardExampleScene:
     def test_multi_variant(self):
         scene = make_example_scene(
