@@ -1,0 +1,336 @@
+"""End-to-end parity against the REFERENCE'S OWN render code.
+
+The golden tests elsewhere compare against torch mirrors rewritten inside
+the test files; a transcription error in the parity target would pass both
+sides. This module closes that hole (VERDICT r2 #1): it imports
+/root/reference/nerf_sampling (the actual upstream package), loads one of
+OUR exported .tar checkpoints into the reference's create_nerf + DepthNet
+stack (sampling_trainer.DepthNetTrainer.create_nerf_model), renders
+deterministic images with the reference's render / render_test
+(nerf_utils.py:88-153 / :191-256, driving render_rays :614-733 and
+render_rays_test :736-876), and compares pixel-wise against our
+render_image on the same weights, same pose, all four eval modes + the
+train-time path — plus a measured PSNR-vs-GT delta on the example scene.
+
+Everything runs fp32 on CPU (mlp_impl="xla"); skips cleanly if the
+reference tree is absent.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+_REF_ROOT = "/root/reference"
+
+# full-size depth (D=8, so skips=(4,) is real) at reduced width for CPU speed
+_NERF_KW = dict(D=8, W=64, input_ch=63, input_ch_views=27, output_ch=5,
+                skips=(4,), use_viewdirs=True)
+_DEPTH_HIDDEN = (32, 32)
+_H = _W = 20
+_N_SAMPLES = 8
+_N_IMPORTANCE = 8
+_N_DEPTH_SAMPLES = 8
+_DISTANCE = 0.05
+
+
+def _stub_optional_modules():
+    """The reference imports wandb/optuna at module scope; neither is
+    installed here. Stub just enough surface for import + Trainer.__init__
+    annotations (optuna.trial.Trial) to resolve."""
+    if "wandb" not in sys.modules:
+        try:
+            import wandb  # noqa: F401
+        except ImportError:
+            wandb = types.ModuleType("wandb")
+            wandb.log = lambda *a, **k: None
+            wandb.Image = lambda *a, **k: None
+            wandb.init = lambda *a, **k: None
+            sys.modules["wandb"] = wandb
+    if "optuna" not in sys.modules:
+        try:
+            import optuna  # noqa: F401
+        except ImportError:
+            optuna = types.ModuleType("optuna")
+            samplers = types.ModuleType("optuna.samplers")
+            trial = types.ModuleType("optuna.trial")
+            trial.Trial = type("Trial", (), {})
+            exceptions = types.ModuleType("optuna.exceptions")
+            exceptions.TrialPruned = type("TrialPruned", (Exception,), {})
+            optuna.samplers = samplers
+            optuna.trial = trial
+            optuna.exceptions = exceptions
+            sys.modules.update({
+                "optuna": optuna,
+                "optuna.samplers": samplers,
+                "optuna.trial": trial,
+                "optuna.exceptions": exceptions,
+            })
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    """(reference modules, reference render kwargs, our params/pipeline/tar).
+
+    Builds ONE shared checkpoint: our active-density init (non-vacuous
+    renders), exported to .tar, loaded by the reference's own
+    create_nerf_model (strict state-dict load inside utils.load_nerf /
+    load_depth_network).
+    """
+    if not os.path.isdir(os.path.join(_REF_ROOT, "nerf_sampling")):
+        pytest.skip("reference tree not available")
+    pytest.importorskip("torch")
+    import matplotlib
+
+    matplotlib.use("Agg")
+    _stub_optional_modules()
+    if _REF_ROOT not in sys.path:
+        sys.path.insert(0, _REF_ROOT)
+    nerf_utils = importlib.import_module("nerf_sampling.nerf_pytorch.nerf_utils")
+    sampling_trainer = importlib.import_module(
+        "nerf_sampling.trainers.sampling_trainer"
+    )
+
+    import jax
+
+    from nerf_sampling_tpu.models import (
+        DepthNetConfig,
+        NeRFConfig,
+        depth_net_init,
+    )
+    from nerf_sampling_tpu.models.nerf import nerf_init_active
+    from nerf_sampling_tpu.render import NeRFParams, Pipeline
+    from nerf_sampling_tpu.train.checkpoint import export_torch_checkpoint
+
+    nerf_cfg = NeRFConfig(**_NERF_KW)
+    depth_cfg = DepthNetConfig(
+        hidden_sizes=_DEPTH_HIDDEN, cat_hidden_sizes=_DEPTH_HIDDEN
+    )
+    pipeline = Pipeline(
+        nerf=nerf_cfg,
+        fine=nerf_cfg,
+        depth=depth_cfg,
+        N_samples=_N_SAMPLES,
+        N_importance=_N_IMPORTANCE,
+        perturb=0.0,
+        raw_noise_std=0.0,
+        white_bkgd=True,
+        lindisp=False,
+        n_depth_samples=_N_DEPTH_SAMPLES,
+        sampling_mode="uniform",
+        distance=_DISTANCE,
+        mlp_impl="xla",
+    )
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    params = NeRFParams(
+        coarse=nerf_init_active(ks[0], nerf_cfg),
+        fine=nerf_init_active(ks[1], nerf_cfg),
+        depth=depth_net_init(ks[2], depth_cfg),
+    )
+
+    tmp = tmp_path_factory.mktemp("ref_parity")
+    tar = str(tmp / "000100.tar")
+    export_torch_checkpoint(tar, 100, params.coarse, params.fine, params.depth)
+
+    trainer = sampling_trainer.DepthNetTrainer(
+        distance=_DISTANCE,
+        sampling_mode="uniform",
+        n_depth_samples=_N_DEPTH_SAMPLES,
+        depth_net_path=tar,
+        n_layers=len(_DEPTH_HIDDEN),
+        layer_width=_DEPTH_HIDDEN[0],
+        sphere_radius=2.0,
+        half_res=False,
+        white_bkgd=True,
+        testskip=1,
+        near=2.0,
+        far=6.0,
+        dataset_type="blender",
+        basedir=str(tmp),
+        expname="parity",
+        no_batching=True,
+        datadir=str(tmp),
+        device="cpu",
+        input_dims_embed=3,
+        N_importance=_N_IMPORTANCE,
+        N_samples=_N_SAMPLES,
+        netdepth=_NERF_KW["D"],
+        netwidth=_NERF_KW["W"],
+        netdepth_fine=_NERF_KW["D"],
+        netwidth_fine=_NERF_KW["W"],
+        perturb=0.0,
+        raw_noise_std=0.0,
+        lindisp=False,
+        ft_path=tar,
+    )
+    _opt, _sopt, kw_train, kw_test = trainer.create_nerf_model()
+    return types.SimpleNamespace(
+        nerf_utils=nerf_utils,
+        trainer=trainer,
+        kw_train=kw_train,
+        kw_test=kw_test,
+        pipeline=pipeline,
+        params=params,
+    )
+
+
+def _camera():
+    """One example-scene pose + intrinsics (shared by both implementations)."""
+    from nerf_sampling_tpu.data.blender import pose_spherical
+
+    camera_angle_x = 0.6911112070083618
+    focal = 0.5 * _W / np.tan(0.5 * camera_angle_x)
+    K = np.array(
+        [[focal, 0, 0.5 * _W], [0, focal, 0.5 * _H], [0, 0, 1]], np.float32
+    )
+    c2w = np.asarray(pose_spherical(30.0, -30.0, 4.0), np.float32)
+    return K, c2w
+
+
+def _render_reference(ref, mode_flags: dict, train_path: bool = False):
+    """Drive the reference's own render stack on one full image."""
+    import torch
+
+    tr = ref.trainer
+    saved = {k: getattr(tr, k) for k in
+             ("compare_nerf", "use_nerf_max_pts", "use_full_nerf")}
+    for k in saved:
+        setattr(tr, k, mode_flags.get(k, False))
+    K, c2w = _camera()
+    try:
+        with torch.no_grad():
+            fn = ref.nerf_utils.render if train_path else ref.nerf_utils.render_test
+            rgb, disp, extras = fn(
+                _H,
+                _W,
+                torch.tensor(K),
+                chunk=1 << 16,
+                c2w=torch.tensor(c2w[:3, :4]),
+                **(ref.kw_train if train_path else ref.kw_test),
+            )
+    finally:
+        for k, v in saved.items():
+            setattr(tr, k, v)
+    out = {"rgb": rgb.numpy(), "disp": disp.numpy()}
+    for k in ("depth_net_z_vals", "max_z_vals"):
+        if k in extras:
+            out[k] = extras[k].numpy()
+    return out
+
+
+def _render_ours(ref, mode, train_path: bool = False):
+    import jax
+
+    from nerf_sampling_tpu.render import render_image
+    from nerf_sampling_tpu.render.engine import (
+        make_ray_batch,
+        render_rays_train,
+    )
+
+    K, c2w = _camera()
+    key = jax.random.PRNGKey(0)  # unused: perturb=0, noise=0, uniform mode
+    if not train_path:
+        maps = render_image(
+            ref.pipeline, ref.params, _H, _W, np.asarray(K),
+            np.asarray(c2w[:3, :4]), key, mode, chunk=1 << 16,
+        )
+    else:
+        from nerf_sampling_tpu.core.rays import get_rays_np
+
+        ro, rd = get_rays_np(_H, _W, K, c2w[:3, :4])
+        rays = make_ray_batch(
+            ref.pipeline, ro.reshape(-1, 3), rd.reshape(-1, 3)
+        )
+        flat = render_rays_train(ref.pipeline, ref.params, rays, key)
+        maps = {k: np.asarray(v).reshape(_H, _W, *v.shape[1:])
+                for k, v in flat.items()}
+    out = {
+        "rgb": np.asarray(maps["depth_net_rgb_map"]),
+        "disp": np.asarray(maps["depth_net_disp_map"]),
+    }
+    for k in ("depth_net_z_vals", "max_z_vals"):
+        if k in maps:
+            out[k] = np.asarray(maps[k])
+    return out
+
+
+class TestCrossImplementationRenderParity:
+    """Reference render_rays_test / render_rays vs our engine, shared .tar."""
+
+    @pytest.mark.parametrize(
+        "flags,mode_name",
+        [
+            ({}, "DEPTH_NET"),
+            ({"compare_nerf": True}, "COMPARE_NERF"),
+            ({"use_nerf_max_pts": True}, "NERF_MAX"),
+            ({"use_full_nerf": True}, "FULL_NERF"),
+        ],
+    )
+    def test_eval_modes_pixelwise(self, ref, flags, mode_name):
+        from nerf_sampling_tpu.render import EvalMode
+
+        theirs = _render_reference(ref, flags)
+        ours = _render_ours(ref, EvalMode[mode_name])
+        np.testing.assert_allclose(
+            ours["rgb"].reshape(-1, 3),
+            theirs["rgb"].reshape(-1, 3),
+            rtol=0, atol=1e-4,
+            err_msg=f"rgb mismatch vs reference render_rays_test ({mode_name})",
+        )
+        if mode_name != "NERF_MAX":  # reference zeroes disp in NERF_MAX
+            np.testing.assert_allclose(
+                ours["disp"].reshape(-1),
+                theirs["disp"].reshape(-1),
+                rtol=0, atol=2e-3,
+                err_msg=f"disp mismatch ({mode_name})",
+            )
+        for k in ("depth_net_z_vals", "max_z_vals"):
+            if k in theirs and k in ours:
+                np.testing.assert_allclose(
+                    np.sort(np.asarray(ours[k]).reshape(ours[k].shape[0], -1), -1),
+                    np.sort(theirs[k].reshape(theirs[k].shape[0], -1), -1),
+                    rtol=0, atol=1e-4, err_msg=f"{k} mismatch ({mode_name})",
+                )
+
+    def test_train_path_pixelwise(self, ref):
+        """render_rays (nerf_utils.py:614-733): DepthNet single-point query."""
+        theirs = _render_reference(ref, {}, train_path=True)
+        ours = _render_ours(ref, None, train_path=True)
+        np.testing.assert_allclose(
+            ours["rgb"].reshape(-1, 3), theirs["rgb"].reshape(-1, 3),
+            rtol=0, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            ours["depth_net_z_vals"].reshape(-1),
+            theirs["depth_net_z_vals"].reshape(-1),
+            rtol=0, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            ours["max_z_vals"].reshape(-1),
+            theirs["max_z_vals"].reshape(-1),
+            rtol=0, atol=1e-4,
+        )
+
+    def test_psnr_delta_vs_ground_truth(self, ref):
+        """BASELINE criterion made testable: both implementations render the
+        same checkpoint on an example-scene view; PSNR vs GT must agree to
+        <= 0.1 dB (they agree far better — pixels match to 1e-4)."""
+        from nerf_sampling_tpu.data.example import _render_analytic
+        from nerf_sampling_tpu.render import EvalMode
+
+        K, c2w = _camera()
+        gt = _render_analytic(_H, _W, float(K[0, 0]), np.asarray(c2w))
+        theirs = _render_reference(ref, {"use_full_nerf": True})
+        ours = _render_ours(ref, EvalMode.FULL_NERF)
+
+        def psnr(img):
+            mse = float(np.mean((img.reshape(_H, _W, 3) - gt) ** 2))
+            return -10.0 * np.log10(mse)
+
+        p_ref, p_ours = psnr(theirs["rgb"]), psnr(ours["rgb"])
+        assert abs(p_ref - p_ours) <= 0.1, (p_ref, p_ours)
