@@ -486,6 +486,13 @@ def render_rays_eval(
             pipeline.depth,
             rays.rays_o,
             rays.rays_d,
+            # COMPARE is the parity-diagnostic mode: a bf16 depth error
+            # (~1e-3 z) shifts every populated sample and amplifies into
+            # ~0.03 rgb through density edges. fp32 keeps the diagnostic
+            # in the 3e-4 class; the production DEPTH_NET mode stays bf16.
+            dtype=jnp.float32
+            if mode == EvalMode.COMPARE_NERF
+            else jnp.bfloat16,
             interpret=jax.default_backend() == "cpu",
         )
     else:
@@ -571,10 +578,16 @@ def _fused_fast_paths(
     rd_flat = rays_d.reshape(-1, 3)
     nerf_params = params.fine if params.fine is not None else params.coarse
     nerf_cfg = p.fine if params.fine is not None else p.nerf
+    # COMPARE is the parity-diagnostic mode (compare-MSE between DepthNet z
+    # and the NeRF argmax): run its kernels in fp32 so the diagnostic is in
+    # the 3e-4 class instead of carrying bf16 depth/argmax noise. The
+    # production modes (DEPTH_NET/FULL_NERF/NERF_MAX) keep bf16 speed.
+    kdtype = jnp.float32 if mode == EvalMode.COMPARE_NERF else jnp.bfloat16
     common = dict(
         white_bkgd=p.white_bkgd,
         multires=p.multires,
         multires_views=p.multires_views,
+        dtype=kdtype,
         interpret=interpret,
     )
 
@@ -652,7 +665,8 @@ def _fused_fast_paths(
     )
 
     depth = fused_depth_net_apply(
-        params.depth, p.depth, ro_flat, rd_flat, interpret=interpret
+        params.depth, p.depth, ro_flat, rd_flat, dtype=kdtype,
+        interpret=interpret,
     )
     if mode == EvalMode.COMPARE_NERF:
         # compare mode diagnoses MSE(max_z, per-sample z) — keep the exact

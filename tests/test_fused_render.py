@@ -475,25 +475,22 @@ class TestFusedModeDispatch:
         key = jax.random.PRNGKey(0)
         a = render_image(p_xla, params, H, W, K, c2w, key, EvalMode.COMPARE_NERF)
         b = render_image(p_pal, params, H, W, K, c2w, key, EvalMode.COMPARE_NERF)
-        # depth-net half: per-sample z kept for the compare MSE diagnostic
+        # depth-net half: per-sample z kept for the compare MSE diagnostic.
+        # COMPARE is the parity-diagnostic mode and runs its kernels in
+        # fp32 (engine._fused_fast_paths), so everything lands in the
+        # 3e-4 class (the r2 bf16 dispatch needed 0.05 here).
         assert b["depth_net_z_vals"].shape == a["depth_net_z_vals"].shape
-        # z offsets ride the depth prediction: fused branch uses the bf16
-        # fused DepthNet kernel vs fp32 XLA -> ~1e-3 depth tolerance
         np.testing.assert_allclose(
             np.asarray(a["depth_net_z_vals"]),
-            np.asarray(b["depth_net_z_vals"]), rtol=0, atol=5e-3,
+            np.asarray(b["depth_net_z_vals"]), rtol=0, atol=1e-4,
         )
         np.testing.assert_allclose(
             np.asarray(a["max_z_vals"]), np.asarray(b["max_z_vals"]),
-            rtol=0, atol=0.05,
+            rtol=0, atol=3e-4,
         )
-        # the ~1e-3 bf16 depth shift moves ALL 64 populated z samples, and
-        # density edges amplify that into rgb: measured max |delta| 0.026
-        # on the active-density init (fp32-vs-fp32 interpret equivalence is
-        # tight at 3e-4 in TestFusedRender — this is dtype, not a bug)
         np.testing.assert_allclose(
             np.asarray(a["depth_net_rgb_map"]),
-            np.asarray(b["depth_net_rgb_map"]), rtol=0, atol=0.05,
+            np.asarray(b["depth_net_rgb_map"]), rtol=0, atol=3e-4,
         )
 
     def test_depth_net_gaussian_cpu(self):
