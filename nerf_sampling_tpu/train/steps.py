@@ -229,7 +229,8 @@ def make_nerf_train_step(
 
 
 def make_multi_step(
-    step_fn: Callable, n_states: int = 1, with_const: bool = False
+    step_fn: Callable, n_states: int = 1, with_const: bool = False,
+    mesh=None,
 ) -> Callable:
     """Fuse many train steps into ONE dispatch via lax.scan.
 
@@ -253,11 +254,40 @@ def make_multi_step(
     compile-time constants — the compiled program is checkpoint-independent,
     so switching NeRF checkpoints costs nothing (the frozen-constants
     single-step path pays a multi-minute remote recompile per checkpoint).
+
+    ``mesh`` composes the scan with GSPMD data parallelism: the [K, N, ...]
+    batch stack is sharded on its RAY axis (dim 1 — each scan iteration's
+    rays split across devices), states/consts/keys replicated, and XLA
+    emits the per-iteration psum gradient all-reduce inside the scan. One
+    dispatch then covers K sharded steps — without this the ~30 ms
+    dispatch round-trip the scan amortizes would return as the dominant
+    cost on a real pod, where per-step compute is divided by the mesh size.
+    Step math is unchanged, so scanned+sharded remains bit-identical to
+    the per-step sharded loop.
     """
 
     def keys_for(base_key, i0, k):
         idx = jnp.arange(k, dtype=jnp.int32) + jnp.asarray(i0, jnp.int32)
         return jax.vmap(lambda j: jax.random.fold_in(base_key, j))(idx)
+
+    def _jit(fn, n_leading_state_args, donate):
+        if mesh is None:
+            return jax.jit(fn, donate_argnums=donate)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nerf_sampling_tpu.parallel.mesh import RAY_AXIS
+
+        rep = NamedSharding(mesh, P())
+        stack_sh = NamedSharding(mesh, P(None, RAY_AXIS))
+        in_sh = (rep,) * n_leading_state_args + (stack_sh, rep, rep)
+        out_states = (rep,) * (n_leading_state_args - (1 if with_const else 0))
+        return jax.jit(
+            fn,
+            in_shardings=in_sh,
+            out_shardings=out_states + (rep,) if len(out_states) > 1
+            else (rep, rep),
+            donate_argnums=donate,
+        )
 
     if with_const:
         if n_states != 1:
@@ -271,7 +301,7 @@ def make_multi_step(
 
             return jax.lax.scan(body, state, (batches, keys))
 
-        return jax.jit(multi_c, donate_argnums=(1,))
+        return _jit(multi_c, 2, donate=(1,))
 
     if n_states == 1:
 
@@ -283,7 +313,7 @@ def make_multi_step(
 
             return jax.lax.scan(body, state, (batches, keys))
 
-        return jax.jit(multi, donate_argnums=(0,))
+        return _jit(multi, 1, donate=(0,))
 
     def multi2(s1, s2, batches, base_key, i0):
         keys = keys_for(base_key, i0, batches.shape[0])
@@ -295,7 +325,7 @@ def make_multi_step(
         (s1, s2), ms = jax.lax.scan(body, (s1, s2), (batches, keys))
         return s1, s2, ms
 
-    return jax.jit(multi2, donate_argnums=(0, 1))
+    return _jit(multi2, 2, donate=(0, 1))
 
 
 def make_joint_train_step(

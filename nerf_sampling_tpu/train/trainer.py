@@ -264,21 +264,27 @@ class Trainer:
 
         n_scan = self._resolve_scan_steps(N_iters)
         depth_state = None
+        # When the scan is active it wraps the UNSHARDED per-step fns — the
+        # mesh shardings are applied at the scan level (make_multi_step
+        # mesh=...), so scan-fused dispatch and data parallelism compose.
+        scanned = n_scan > 1
         if cfg.train_mode == "depth_net":
             optimizer = make_depth_optimizer(cfg.depth_net_lr)
             state = init_state(self.params.depth, optimizer, self.start)
-            if self.mesh is not None:
-                from nerf_sampling_tpu.parallel import make_sharded_depth_train_step
+            if scanned:
+                # frozen NeRF rides as a loop-invariant ARGUMENT (processed
+                # once per K-step dispatch, replicated once under a mesh),
+                # so the compiled program is checkpoint-independent — no
+                # multi-minute recompile when the NeRF checkpoint changes
+                step_fn = make_depth_net_train_step(self.pipeline, optimizer)
+            elif self.mesh is not None:  # per-step sharded loop
+                from nerf_sampling_tpu.parallel import (
+                    make_sharded_depth_train_step,
+                )
 
                 step_fn = make_sharded_depth_train_step(
                     self.pipeline, optimizer, self.mesh
                 )
-            elif n_scan > 1:
-                # scanned path: the frozen NeRF rides as a loop-invariant
-                # ARGUMENT (processed once per K-step dispatch), so the
-                # compiled program is checkpoint-independent — no
-                # multi-minute recompile when the NeRF checkpoint changes
-                step_fn = make_depth_net_train_step(self.pipeline, optimizer)
             else:
                 step_fn = make_depth_net_train_step(
                     self.pipeline, optimizer, frozen_nerf=self.params
@@ -288,7 +294,7 @@ class Trainer:
             depth_opt = make_depth_optimizer(cfg.depth_net_lr)
             state = init_state(self.params._replace(depth=None), optimizer, self.start)
             depth_state = init_state(self.params.depth, depth_opt, self.start)
-            if self.mesh is not None:
+            if self.mesh is not None and not scanned:
                 from nerf_sampling_tpu.parallel import make_sharded_joint_train_step
 
                 step_fn = make_sharded_joint_train_step(
@@ -301,7 +307,7 @@ class Trainer:
             state = init_state(
                 self.params._replace(depth=None), optimizer, self.start
             )
-            if self.mesh is not None:
+            if self.mesh is not None and not scanned:
                 from nerf_sampling_tpu.parallel import make_sharded_nerf_train_step
 
                 step_fn = make_sharded_nerf_train_step(
@@ -406,19 +412,15 @@ class Trainer:
         Auto picks the largest divisor of every logging cadence that is
         <= 32, so chunk boundaries land exactly on i_print/i_weights/
         i_testset/i_video multiples and log() sees the state it would have
-        seen in the single-step loop. Stays at 1 on cpu (no dispatch
-        latency to amortize), under a mesh (the sharded steps are wrapped
-        separately), when profiling (per-step trace), and for runs shorter
-        than one chunk.
+        seen in the single-step loop. Composes with the mesh (the scan is
+        jitted with the batch stack sharded on rays — make_multi_step).
+        Stays at 1 on cpu (no dispatch latency to amortize), when
+        profiling (per-step trace), and for runs shorter than one chunk.
         """
         import math
 
         cfg = self.cfg
-        if (
-            self.mesh is not None
-            or cfg.profile_dir is not None
-            or N_iters - self.start <= 2
-        ):
+        if cfg.profile_dir is not None or N_iters - self.start <= 2:
             return 1
         if cfg.steps_per_dispatch >= 1:  # explicit setting wins (any backend)
             # ... but a chunk size that doesn't divide the logging cadences
@@ -470,6 +472,7 @@ class Trainer:
             step_fn,
             n_states=2 if mode == "joint" else 1,
             with_const=depth_mode,
+            mesh=self.mesh,  # scan + GSPMD compose (batch sharded on rays)
         )
         if depth_mode:
             # ship the frozen NeRF once; the same committed buffers are
