@@ -89,6 +89,13 @@ class Pipeline:
     ndc: bool = False
     near: float = 2.0
     far: float = 6.0
+    # Image geometry for the NDC reprojection (ndc_rays needs H/W/focal).
+    # Set by the trainer from the loaded scene when ndc=True, so training
+    # steps — which see only flat ray batches — can reproject; explicit
+    # H/W/focal arguments to make_ray_batch still win (full-image renders).
+    H: int | None = None
+    W: int | None = None
+    focal: float | None = None
     # eval-time depth population (reference render.py:208-212 defaults)
     n_depth_samples: int = 2
     sampling_mode: str = "uniform"
@@ -132,6 +139,14 @@ def make_ray_batch(
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         viewdirs = viewdirs.reshape(-1, 3)
     if pipeline.ndc:
+        H = H if H is not None else pipeline.H
+        W = W if W is not None else pipeline.W
+        focal = focal if focal is not None else pipeline.focal
+        if focal is None:
+            raise ValueError(
+                "NDC reprojection needs H/W/focal — pass them to "
+                "make_ray_batch or set them on the Pipeline"
+            )
         rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)

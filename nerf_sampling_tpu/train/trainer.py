@@ -147,6 +147,13 @@ class Trainer:
         cfg = self.cfg
         with_depth = cfg.train_mode in ("depth_net", "joint")
         self.pipeline = cfg.pipeline(with_depth=with_depth)
+        if self.pipeline.ndc and self.scene is not None:
+            # training steps see only flat ray batches — the NDC
+            # reprojection's H/W/focal must ride on the pipeline
+            H, W, focal = self.scene.hwf
+            self.pipeline = dataclasses.replace(
+                self.pipeline, H=int(H), W=int(W), focal=float(focal)
+            )
         params = self._init_params()
         self._resume_ckpt_path: str | None = None
 
