@@ -380,6 +380,10 @@ def render_rays_train(
         "depth_net_pts": depth_pts,
         "max_pts": max_pts,
         "raw": depth_raw,
+        # hierarchical accumulated opacity: lets the train step split its
+        # depth-loss diagnostics into fg/bg (background argmax targets are
+        # sampling noise); not part of the reference's return set
+        "acc_map": hier.fine.acc_map,
     }
 
 

@@ -69,6 +69,27 @@ def _unpack_batch(pipeline: Pipeline, batch) -> tuple[RayBatch, jnp.ndarray]:
     return rays, batch[:, 6:9]
 
 
+def _fg_bg_depth_diagnostics(depth_z, max_z, acc, thresh: float = 0.5):
+    """Split the depth-loss into foreground/background components (metrics
+    only — the OBJECTIVE stays reference-parity, Trainer.py:537-543).
+
+    Background rays (hierarchical acc below ``thresh``) have near-zero
+    density everywhere, so their argmax-weight depth target is sampling
+    noise; this split measures how much of the logged depth loss that
+    noise contributes — the working hypothesis for the eval-PSNR drift
+    past ~10k iters (RESULTS.md)."""
+    acc = acc.reshape(-1, 1)
+    se = (depth_z - max_z) ** 2
+    fg = (acc > thresh).astype(se.dtype)
+    n_fg = jnp.sum(fg)
+    n = jnp.asarray(se.shape[0], se.dtype)
+    return {
+        "depth_loss_fg": jnp.sum(se * fg) / jnp.maximum(n_fg, 1.0),
+        "depth_loss_bg": jnp.sum(se * (1.0 - fg)) / jnp.maximum(n - n_fg, 1.0),
+        "fg_frac": n_fg / n,
+    }
+
+
 def make_depth_net_train_step(
     pipeline: Pipeline,
     optimizer: optax.GradientTransformation,
@@ -122,6 +143,7 @@ def make_depth_net_train_step(
                 seed=jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32),
             )
             max_z = jax.lax.stop_gradient(hm["max_z"].reshape(-1, 1))
+            hier_acc = jax.lax.stop_gradient(hm["acc_map"].reshape(-1, 1))
 
             def loss_fn(depth_params: Any):
                 depth_z = depth_net_apply(
@@ -138,7 +160,8 @@ def make_depth_net_train_step(
                 )
                 img_loss = img2mse(out.rgb_map, target)
                 depth_loss = img2mse(depth_z, max_z)
-                return img_loss + depth_loss, (img_loss, depth_loss)
+                diag = _fg_bg_depth_diagnostics(depth_z, max_z, hier_acc)
+                return img_loss + depth_loss, (img_loss, depth_loss, diag)
 
         else:
 
@@ -148,13 +171,15 @@ def make_depth_net_train_step(
                 )
                 out = render_rays_train(pipeline, params, rays, key)
                 img_loss = img2mse(out["depth_net_rgb_map"], target)
-                depth_loss = img2mse(
-                    out["depth_net_z_vals"],
-                    jax.lax.stop_gradient(out["max_z_vals"]),
+                max_z = jax.lax.stop_gradient(out["max_z_vals"])
+                depth_loss = img2mse(out["depth_net_z_vals"], max_z)
+                diag = _fg_bg_depth_diagnostics(
+                    out["depth_net_z_vals"], max_z,
+                    jax.lax.stop_gradient(out["acc_map"]),
                 )
-                return img_loss + depth_loss, (img_loss, depth_loss)
+                return img_loss + depth_loss, (img_loss, depth_loss, diag)
 
-        grads, (img_loss, depth_loss) = jax.grad(loss_fn, has_aux=True)(
+        grads, (img_loss, depth_loss, diag) = jax.grad(loss_fn, has_aux=True)(
             depth_state.params
         )
         updates, opt_state = optimizer.update(
@@ -165,6 +190,7 @@ def make_depth_net_train_step(
             "loss": img_loss,
             "depth_net_loss": depth_loss,
             "psnr": mse2psnr(img_loss),
+            **diag,
         }
         return TrainState(depth_state.step + 1, new_params, opt_state), metrics
 

@@ -621,6 +621,9 @@ class Trainer:
                 dn_loss = float(metrics["depth_net_loss"])
                 info += f", Depth Net Loss: {dn_loss}"
                 scalars["Depth net loss"] = dn_loss
+            for k in ("depth_loss_fg", "depth_loss_bg", "fg_frac"):
+                if k in metrics:
+                    scalars[k] = float(metrics[k])
             info += f", PSNR: {psnr:.5f}"
             print(info)
             if timer is not None:

@@ -147,6 +147,38 @@ def main() -> None:
     dmean = float(jnp.abs(out_g["rgb_map"].mean(0) - out_x["rgb_map"].mean(0)).max())
     print(f"gaussian mean-rgb delta (different PRNG streams): {dmean:.5f}")
 
+    # 5. COMPARE dispatch on chip: fp32 kernels (diagnostic mode) vs XLA.
+    # Round 3 tightened the CPU-interpret tolerance to 3e-4; this checks the
+    # same bound holds for the REAL Mosaic lowering (the bf16 dispatch
+    # needed 0.05 here in round 2).
+    import dataclasses as _dc
+
+    from nerf_sampling_tpu.models import DepthNetConfig, depth_net_init
+    from nerf_sampling_tpu.render import render_flat_rays
+
+    dcfg = DepthNetConfig()
+    dparams = depth_net_init(jax.random.PRNGKey(5), dcfg)
+    p_cmp = Pipeline(
+        nerf=cfg, depth=dcfg, N_samples=16, N_importance=16,
+        n_depth_samples=16, sampling_mode="uniform", distance=0.1,
+        mlp_impl="xla",
+    )
+    bundle = NeRFParams(coarse=params, depth=dparams)
+    a = render_flat_rays(
+        p_cmp, bundle, ro_j[:m], rd_j[:m], jax.random.PRNGKey(0),
+        EvalMode.COMPARE_NERF,
+    )
+    b = render_flat_rays(
+        _dc.replace(p_cmp, mlp_impl="pallas"), bundle, ro_j[:m], rd_j[:m],
+        jax.random.PRNGKey(0), EvalMode.COMPARE_NERF,
+    )
+    dz = float(jnp.abs(a["depth_net_z_vals"] - b["depth_net_z_vals"]).max())
+    drgb = float(
+        jnp.abs(a["depth_net_rgb_map"] - b["depth_net_rgb_map"]).max()
+    )
+    print(f"COMPARE fp32 dispatch vs XLA: max |dz|={dz:.2e} max |drgb|={drgb:.2e} "
+          f"(budget 1e-3; bf16 r2 was 0.026)")
+
 
 if __name__ == "__main__":
     main()

@@ -172,6 +172,10 @@ class TestSteps:
         assert not trees_equal(before, new_state.params)
         for k in ("loss", "depth_net_loss", "psnr"):
             assert np.isfinite(float(metrics[k])), k
+        # fg/bg depth-loss diagnostics (drift investigation, RESULTS.md)
+        for k in ("depth_loss_fg", "depth_loss_bg", "fg_frac"):
+            assert np.isfinite(float(metrics[k])), k
+        assert 0.0 <= float(metrics["fg_frac"]) <= 1.0
 
     def test_nerf_step_decreases_loss(self):
         p = tiny_pipeline()
