@@ -41,7 +41,16 @@ from nerf_sampling_tpu.kernels.fused_nerf import (
 from nerf_sampling_tpu.kernels.fused_render import TPU_VMEM_LIMIT
 from nerf_sampling_tpu.models.nerf import NeRFConfig
 
-_TILE = 512  # rows per backward program (recompute keeps ~10 [T,256] bufs)
+_TILE = 1024  # rows per backward program (recompute keeps ~10 [T,256] bufs;
+# measured on-chip r3, dispatch-latency-amortized fwd+bwd, flagship 8x256:
+#   tile  512: 82 TFLOP/s issued @ n=64k, 126 @ n=192k
+#   tile 1024: 89 TFLOP/s issued @ n=64k, 139 @ n=192k   <- best
+#   tile 2048: 88 / 135
+# i.e. the kernel is at 64-70% of the 197.7 bf16 ceiling by conservative
+# 6F accounting — the r2 "38%" figure was dispatch-latency pollution, and
+# the two-phase partials-to-HBM variant targets a sequential-accumulation
+# bottleneck that the tile sweep shows does not exist (scripts/
+# bench_bwd_kernel.py).
 _ACC = jnp.float32
 
 
