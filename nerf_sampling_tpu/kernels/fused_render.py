@@ -96,10 +96,10 @@ def _mlp_plane_loop(
     # [*, 8] input build, PE matmul, or small-K emb passes.
     consts = ops.ray_affine_consts(cfg, dtype, o, d, viewdirs, F, P, w, heads)
 
-    def chunk(s0_static_or_dyn, SC):
+    def chunk(s0_static_or_dyn, SC, S_pre=None):
         zc = z_read(s0_static_or_dyn, SC)  # [SC, R]
         raw = ops.mlp_forward_affine(
-            cfg, dtype, zc, consts, w, heads=heads
+            cfg, dtype, zc, consts, w, heads=heads, S_pre=S_pre
         )  # [SC*R, 4]
         sl = pl.ds(s0_static_or_dyn, SC)
         sigma_s[sl] = raw[:, 3].reshape(SC, R)
@@ -113,9 +113,23 @@ def _mlp_plane_loop(
     # on v5e. The scratch-plane writes (vs round 1's value concatenation)
     # are what keep VMEM flat, so large S still compiles when unrolled is
     # too big and the loop takes over.
-    if n_chunks <= 16:
+    if 1 < n_chunks <= 16:
+        # software-pipeline the fp32 PE sin one chunk ahead: chunk i+1's
+        # sin (VPU) has no dependency on chunk i's trunk matmuls (MXU), so
+        # hoisting it gives Mosaic's scheduler interleavable chains
+        # (inline, sin feeds the first matmul and serializes — measured
+        # ~20% of kernel time at S=64)
+        S_cur = ops.pe_sin_chunk(consts, z_read(0, SC), dtype)
         for i in range(n_chunks):
-            chunk(i * SC, SC)
+            S_next = (
+                ops.pe_sin_chunk(consts, z_read((i + 1) * SC, SC), dtype)
+                if i + 1 < n_chunks
+                else None
+            )
+            chunk(i * SC, SC, S_pre=S_cur)
+            S_cur = S_next
+    elif n_chunks == 1:
+        chunk(0, SC)
     else:
 
         def body(i, _):
