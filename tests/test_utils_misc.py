@@ -18,6 +18,30 @@ def test_write_video_falls_back(tmp_path):
     assert path.endswith((".mp4", ".gif", ".npz"))
 
 
+def test_write_video_mp4_branch(tmp_path, monkeypatch):
+    """The mp4 branch (reference Trainer.py:223,365-376 parameters) is
+    unreachable here (no ffmpeg); exercise it with a stub mimwrite that
+    records the call, so the branch isn't dead-until-production code."""
+    import imageio.v2 as imageio_v2
+
+    calls = []
+
+    def fake_mimwrite(path, frames, **kw):
+        if not str(path).endswith(".mp4"):
+            raise AssertionError("mp4 branch must be tried first")
+        calls.append((str(path), np.asarray(frames).shape, kw))
+        with open(path, "wb") as f:
+            f.write(b"\x00")
+
+    monkeypatch.setattr(imageio_v2, "mimwrite", fake_mimwrite)
+    frames = np.zeros((3, 4, 4, 3), np.uint8)
+    path = write_video(str(tmp_path / "clip"), frames, fps=30)
+    assert path.endswith(".mp4") and os.path.exists(path)
+    # reference parameters: fps=30, quality=8 (Trainer.py:368-371)
+    assert calls[0][2] == {"fps": 30, "quality": 8}
+    assert calls[0][1] == (3, 4, 4, 3)
+
+
 def test_metrics_logger_jsonl(tmp_path):
     logger = MetricsLogger(str(tmp_path), wandb_mode="disabled")
     logger.log({"Loss": 1.5, "psnr": 20.0}, step=10)
