@@ -116,9 +116,15 @@ def _mlp_plane_loop(
     if 1 < n_chunks <= 16:
         # software-pipeline the fp32 PE sin one chunk ahead: chunk i+1's
         # sin (VPU) has no dependency on chunk i's trunk matmuls (MXU), so
-        # hoisting it gives Mosaic's scheduler interleavable chains
-        # (inline, sin feeds the first matmul and serializes — measured
-        # ~20% of kernel time at S=64)
+        # hoisting it gives Mosaic's scheduler explicitly interleavable
+        # chains. MEASURED (r3, 800^2 headline bench): perf-neutral —
+        # 1.591M rays/s vs 1.604M inline, within tunnel run-to-run
+        # variance. Conclusion: Mosaic schedules on the dependency DAG and
+        # already overlapped what it could; the residual ~1.5x gap to the
+        # matmul ceiling is NOT recoverable by reordering the sin — it is
+        # VPU issue-rate bound (sin+FMA broadcast work itself) plus
+        # compositing epilogue. Kept because it is neutral and makes the
+        # independence explicit.
         S_cur = ops.pe_sin_chunk(consts, z_read(0, SC), dtype)
         for i in range(n_chunks):
             S_next = (
