@@ -100,6 +100,13 @@ class Pipeline:
     n_depth_samples: int = 2
     sampling_mode: str = "uniform"
     distance: float = 0.01
+    # EXTENSION (no reference analog; 1.0 = exact reference objective):
+    # down-weights the depth-MSE of background rays (hierarchical
+    # acc <= 0.5) in depth-net training. Measured r3: 85% of the
+    # reference objective's magnitude is background argmax NOISE after
+    # ~10k iters, driving the post-peak eval drift (RESULTS.md); 0.0
+    # trains the depth head on foreground geometry only.
+    bg_depth_loss_weight: float = 1.0
     # MLP execution backend: "xla" (fp32 HIGHEST, differentiable — training
     # and parity) or "pallas" (fused bf16 VMEM-resident kernel, eval only;
     # ~4.3x the fp32 path on v5e). The pallas path has no VJP.

@@ -69,6 +69,16 @@ def _unpack_batch(pipeline: Pipeline, batch) -> tuple[RayBatch, jnp.ndarray]:
     return rays, batch[:, 6:9]
 
 
+def _weighted_depth_loss(depth_z, max_z, acc, bg_weight: float):
+    """Depth-MSE with background rays down-weighted (Pipeline
+    bg_depth_loss_weight EXTENSION; bg_weight=1.0 reduces to the
+    reference img2mse(depth_z, max_z) exactly — callers skip this
+    function then so the parity path stays literally img2mse)."""
+    fg = (acc.reshape(-1, 1) > 0.5).astype(depth_z.dtype)
+    w = fg + bg_weight * (1.0 - fg)
+    return jnp.mean(w * (depth_z - max_z) ** 2)
+
+
 def _fg_bg_depth_diagnostics(depth_z, max_z, acc, thresh: float = 0.5):
     """Split the depth-loss into foreground/background components (metrics
     only — the OBJECTIVE stays reference-parity, Trainer.py:537-543).
@@ -159,7 +169,13 @@ def make_depth_net_train_step(
                     key=k_noise,
                 )
                 img_loss = img2mse(out.rgb_map, target)
-                depth_loss = img2mse(depth_z, max_z)
+                if pipeline.bg_depth_loss_weight != 1.0:
+                    depth_loss = _weighted_depth_loss(
+                        depth_z, max_z, hier_acc,
+                        pipeline.bg_depth_loss_weight,
+                    )
+                else:  # reference objective (Trainer.py:537-543)
+                    depth_loss = img2mse(depth_z, max_z)
                 diag = _fg_bg_depth_diagnostics(depth_z, max_z, hier_acc)
                 return img_loss + depth_loss, (img_loss, depth_loss, diag)
 
@@ -172,10 +188,16 @@ def make_depth_net_train_step(
                 out = render_rays_train(pipeline, params, rays, key)
                 img_loss = img2mse(out["depth_net_rgb_map"], target)
                 max_z = jax.lax.stop_gradient(out["max_z_vals"])
-                depth_loss = img2mse(out["depth_net_z_vals"], max_z)
+                acc = jax.lax.stop_gradient(out["acc_map"])
+                if pipeline.bg_depth_loss_weight != 1.0:
+                    depth_loss = _weighted_depth_loss(
+                        out["depth_net_z_vals"], max_z, acc,
+                        pipeline.bg_depth_loss_weight,
+                    )
+                else:  # reference objective (Trainer.py:537-543)
+                    depth_loss = img2mse(out["depth_net_z_vals"], max_z)
                 diag = _fg_bg_depth_diagnostics(
-                    out["depth_net_z_vals"], max_z,
-                    jax.lax.stop_gradient(out["acc_map"]),
+                    out["depth_net_z_vals"], max_z, acc,
                 )
                 return img_loss + depth_loss, (img_loss, depth_loss, diag)
 

@@ -116,6 +116,12 @@ class TrainerConfig:
     # stops them.
     keep_best: bool = True
     early_stop_patience: int = 0
+    # EXTENSION (1.0 = exact reference objective): weight on background
+    # rays' depth-MSE in depth-net training — the r3 drift diagnosis
+    # measured 85% of the reference objective to be background argmax
+    # noise (RESULTS.md); set < 1 (e.g. 0.0) to train depth on
+    # foreground geometry only.
+    bg_depth_loss_weight: float = 1.0
 
     # render-only modes
     render_only: bool = False
@@ -207,6 +213,7 @@ class TrainerConfig:
             distance=self.distance,
             mlp_impl=self.mlp_impl,
             netchunk=self.netchunk,
+            bg_depth_loss_weight=self.bg_depth_loss_weight,
         )
 
 

@@ -177,6 +177,34 @@ class TestSteps:
             assert np.isfinite(float(metrics[k])), k
         assert 0.0 <= float(metrics["fg_frac"]) <= 1.0
 
+    def test_bg_depth_loss_weight_extension(self):
+        """bg_depth_loss_weight=0 masks background rays out of the depth
+        objective: the logged depth_net_loss must equal
+        depth_loss_fg * fg_frac (sum over fg rays / all rays). Default 1.0
+        is the exact reference objective (img2mse path)."""
+        import dataclasses
+
+        p0 = tiny_pipeline()
+        params = tiny_bundle(p0)
+        opt = make_depth_optimizer(1e-3)
+        ro = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), (16, 1))
+        rd = jax.random.uniform(
+            jax.random.PRNGKey(1), (16, 3), minval=-0.4, maxval=0.4
+        )
+        rd = rd.at[:, 2].set(-1.0)
+        rays = make_ray_batch(p0, ro, rd)
+        target = jnp.full((16, 3), 0.5)
+
+        p_masked = dataclasses.replace(p0, bg_depth_loss_weight=0.0)
+        step = make_depth_net_train_step(p_masked, opt)
+        state = init_state(params.depth, opt)
+        _, m = step(params, state, (rays, target), jax.random.PRNGKey(0))
+        np.testing.assert_allclose(
+            float(m["depth_net_loss"]),
+            float(m["depth_loss_fg"]) * float(m["fg_frac"]),
+            rtol=1e-5,
+        )
+
     def test_nerf_step_decreases_loss(self):
         p = tiny_pipeline()
         params = tiny_bundle(p)._replace(depth=None)
