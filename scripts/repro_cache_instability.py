@@ -87,8 +87,11 @@ def main():
         )
         float(np.asarray(out).ravel()[0])
 
-    # (c) the scanned depth-train step (the round-2 offender)
-    def scanned_step():
+    # (c) the scanned depth-train step; (d) same with the Mosaic hier
+    # oracle INSIDE the scan (mlp_impl="pallas" — the r2 offender had the
+    # fused stochastic kernel in the scan body, which is where a
+    # nondeterministic serialized payload would live)
+    def scanned_step(mlp_impl="xla"):
         from nerf_sampling_tpu.models import (
             DepthNetConfig, NeRFConfig, depth_net_init, nerf_init,
         )
@@ -102,7 +105,7 @@ def main():
                           output_ch=5, skips=(), use_viewdirs=True)
         dcfg = DepthNetConfig(hidden_sizes=(16, 16), cat_hidden_sizes=(16, 16))
         p = Pipeline(nerf=ncfg, fine=ncfg, depth=dcfg, N_samples=4,
-                     N_importance=4)
+                     N_importance=4, mlp_impl=mlp_impl)
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
         bundle = NeRFParams(coarse=nerf_init(ks[0], p.nerf),
                             fine=nerf_init(ks[1], p.fine),
@@ -121,6 +124,12 @@ def main():
     section("xla", xla_prog)
     section("pallas_fused_depth_net", pallas_prog)
     section("scanned_depth_step", scanned_step)
+    if jax.default_backend() != "cpu":
+        # the fused stochastic hier oracle inside the scan body — the r2
+        # offender's shape (no interpret-mode lowering for in-kernel PRNG,
+        # so TPU only)
+        section("scanned_depth_step_pallas_oracle",
+                lambda: scanned_step("pallas"))
 
     total_new = sum(len(new) for _, new in report)
     print(f"TOTAL new entries this process: {total_new}")

@@ -650,13 +650,19 @@ class TestTrialPruning:
 
     def test_prunes_mid_train(self, tmp_path):
         """The pruning hook (reference Trainer.py:393-398) reports PSNR at
-        the i_print cadence and raises TrialPruned when the trial says so."""
-        from nerf_sampling_tpu.train.trainer import TrialPruned
+        the i_print cadence and raises TrialPruned when the trial says so.
 
+        NB: asserts on the exception NAME, not identity — when another
+        test has stubbed ``optuna`` into sys.modules (reference-parity
+        suite), the hook correctly raises that module's TrialPruned."""
         trial = _StubTrial(prune_after=2)
         tr = Trainer(self._cfg(tmp_path), trial=trial)
-        with pytest.raises(TrialPruned):
+        raised = None
+        try:
             tr.train(N_iters=11)
+        except Exception as e:  # noqa: BLE001 - identity checked below
+            raised = e
+        assert raised is not None and type(raised).__name__ == "TrialPruned", raised
         # reports landed at steps 2 and 4, then the prune fired
         assert [s for _, s in trial.reports] == [2, 4]
         assert all(np.isfinite(v) for v, _ in trial.reports)
