@@ -316,6 +316,39 @@ class TestCrossImplementationRenderParity:
             rtol=0, atol=1e-4,
         )
 
+    def test_depth_only_mode_pixelwise(self, ref):
+        """sampling_mode="depth_only" (the reference run.py:148 training
+        default): z = the raw DepthNet prediction, no population
+        (utils.py:224-225) — fully deterministic on both sides."""
+        import dataclasses
+
+        tr = ref.trainer
+        saved = (tr.sampling_mode, tr.n_depth_samples)
+        tr.sampling_mode, tr.n_depth_samples = "depth_only", 1
+        try:
+            theirs = _render_reference(ref, {})
+        finally:
+            tr.sampling_mode, tr.n_depth_samples = saved
+
+        from nerf_sampling_tpu.render import EvalMode
+
+        ref2 = types.SimpleNamespace(
+            **{**ref.__dict__,
+               "pipeline": dataclasses.replace(
+                   ref.pipeline, sampling_mode="depth_only",
+                   n_depth_samples=1)}
+        )
+        ours = _render_ours(ref2, EvalMode.DEPTH_NET)
+        np.testing.assert_allclose(
+            ours["rgb"].reshape(-1, 3), theirs["rgb"].reshape(-1, 3),
+            rtol=0, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            ours["depth_net_z_vals"].reshape(-1),
+            theirs["depth_net_z_vals"].reshape(-1),
+            rtol=0, atol=1e-4,
+        )
+
     def test_psnr_delta_vs_ground_truth(self, ref):
         """BASELINE criterion made testable: both implementations render the
         same checkpoint on an example-scene view; PSNR vs GT must agree to
