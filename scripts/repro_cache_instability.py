@@ -74,7 +74,12 @@ def main():
 
     # (b) a Pallas kernel (the fused depth net, bf16)
     def pallas_prog():
+        import hashlib
+
         from nerf_sampling_tpu.kernels import fused_depth_net_apply
+        from nerf_sampling_tpu.kernels.fused_depth_net import (
+            _flatten, _fused_call, pack_depth_net_params,
+        )
         from nerf_sampling_tpu.models import DepthNetConfig, depth_net_init
 
         cfg = DepthNetConfig(hidden_sizes=(16, 16), cat_hidden_sizes=(16, 16))
@@ -86,6 +91,21 @@ def main():
             interpret=jax.default_backend() == "cpu",
         )
         float(np.asarray(out).ravel()[0])
+        # attribution: hash the STABLEHLO TEXT of the exact jit that owns
+        # the flaky key (jit__fused_call). If this hash is identical across
+        # processes while the cache key differs, the nondeterminism is in
+        # compile options/topology metadata, not the serialized module; if
+        # it differs, diff the texts — the Mosaic custom-call payload is
+        # the suspect.
+        packed = tuple(_flatten(pack_depth_net_params(params, cfg, jnp.bfloat16)))
+        A = jnp.zeros((128, 128), jnp.bfloat16)
+        B = jnp.zeros((128, 128), jnp.bfloat16)
+        txt = _fused_call.lower(
+            A, B, packed, cfg, jnp.bfloat16, 128,
+            jax.default_backend() == "cpu",
+        ).as_text()
+        print(f"    stablehlo sha256[jit__fused_call] = "
+              f"{hashlib.sha256(txt.encode()).hexdigest()[:16]}")
 
     # (c) the scanned depth-train step; (d) same with the Mosaic hier
     # oracle INSIDE the scan (mlp_impl="pallas" — the r2 offender had the
