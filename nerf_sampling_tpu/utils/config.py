@@ -137,7 +137,10 @@ class TrainerConfig:
     # train steps fused into one dispatch via lax.scan (steps.make_multi_step).
     # 0 = auto: the largest divisor of the logging cadences <= 32 on a real
     # accelerator (per-step dispatch through the remote tunnel costs
-    # milliseconds), 1 on cpu / under a mesh / when profiling.
+    # milliseconds), 1 on cpu / when profiling. Composes with the device
+    # mesh (the scan is jitted with the batch stack sharded on rays).
+    # Explicit values that don't divide the logging cadences are rounded
+    # down so checkpoints/logs stay step-exact.
     steps_per_dispatch: int = 0
     # XLA-path matmul precision: "highest" (fp32 parity) | "high" | "default"
     # (bf16 MXU — faster training at slightly noisier depth targets)
