@@ -96,10 +96,10 @@ def _mlp_plane_loop(
     # [*, 8] input build, PE matmul, or small-K emb passes.
     consts = ops.ray_affine_consts(cfg, dtype, o, d, viewdirs, F, P, w, heads)
 
-    def chunk(s0_static_or_dyn, SC, S_pre=None):
+    def chunk(s0_static_or_dyn, SC):
         zc = z_read(s0_static_or_dyn, SC)  # [SC, R]
         raw = ops.mlp_forward_affine(
-            cfg, dtype, zc, consts, w, heads=heads, S_pre=S_pre
+            cfg, dtype, zc, consts, w, heads=heads
         )  # [SC*R, 4]
         sl = pl.ds(s0_static_or_dyn, SC)
         sigma_s[sl] = raw[:, 3].reshape(SC, R)
@@ -113,29 +113,16 @@ def _mlp_plane_loop(
     # on v5e. The scratch-plane writes (vs round 1's value concatenation)
     # are what keep VMEM flat, so large S still compiles when unrolled is
     # too big and the loop takes over.
-    if 1 < n_chunks <= 16:
-        # software-pipeline the fp32 PE sin one chunk ahead: chunk i+1's
-        # sin (VPU) has no dependency on chunk i's trunk matmuls (MXU), so
-        # hoisting it gives Mosaic's scheduler explicitly interleavable
-        # chains. MEASURED (r3, 800^2 headline bench): perf-neutral —
-        # 1.591M rays/s vs 1.604M inline, within tunnel run-to-run
-        # variance. Conclusion: Mosaic schedules on the dependency DAG and
-        # already overlapped what it could; the residual ~1.5x gap to the
-        # matmul ceiling is NOT recoverable by reordering the sin — it is
-        # VPU issue-rate bound (sin+FMA broadcast work itself) plus
-        # compositing epilogue. Kept because it is neutral and makes the
-        # independence explicit.
-        S_cur = ops.pe_sin_chunk(consts, z_read(0, SC), dtype)
+    # (A software-pipelined variant that hoisted chunk i+1's fp32 PE sin
+    # ahead of chunk i's trunk matmuls was MEASURED perf-neutral on the
+    # 800^2 headline bench — 1.591M vs 1.604M rays/s, within tunnel
+    # run-to-run variance — because Mosaic schedules on the dependency DAG
+    # and already overlaps the VPU sin with the MXU chain. The residual
+    # ~1.5x gap to the matmul ceiling is VPU issue-rate bound, not a
+    # scheduling artifact, so the simple unroll is kept.)
+    if n_chunks <= 16:
         for i in range(n_chunks):
-            S_next = (
-                ops.pe_sin_chunk(consts, z_read((i + 1) * SC, SC), dtype)
-                if i + 1 < n_chunks
-                else None
-            )
-            chunk(i * SC, SC, S_pre=S_cur)
-            S_cur = S_next
-    elif n_chunks == 1:
-        chunk(0, SC)
+            chunk(i * SC, SC)
     else:
 
         def body(i, _):

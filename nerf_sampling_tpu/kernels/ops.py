@@ -70,11 +70,9 @@ def ray_affine_consts(
 def pe_sin_chunk(consts: dict, zc: jnp.ndarray, dtype) -> jnp.ndarray:
     """The fp32 PE sin for one z chunk: sin(AF + z*BF) -> [SC*R, PAD] bf16.
 
-    Split out of mlp_forward_affine so callers can software-pipeline it:
-    computing chunk i+1's sin (pure VPU work, ~20% of kernel time
-    measured) while chunk i's trunk matmuls occupy the MXU gives Mosaic's
-    scheduler independent VPU/MXU chains to interleave — inline, the sin
-    feeds the first matmul directly and serializes.
+    Pure VPU work (~20% of kernel time measured); Mosaic overlaps it with
+    the trunk matmuls on its own (an explicit software-pipelined variant
+    measured perf-neutral).
     """
     AF, BF = consts["pe"]
     SC, R = zc.shape
@@ -91,7 +89,6 @@ def mlp_forward_affine(
     consts: dict,
     w: dict,
     heads: str = "full",
-    S_pre: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """PE + NeRF MLP over a z chunk via the affine-in-z decomposition.
 
@@ -101,9 +98,6 @@ def mlp_forward_affine(
     keeps them fp32 — slightly MORE precise). The z broadcast runs in
     [SC, R, C] 3D form: Mosaic rejects the [SC, R] -> [SC*R, 1] shape cast,
     but merging leading dims of [SC, R, C] is a supported (free) reshape.
-
-    ``S_pre``: precomputed pe_sin_chunk(consts, zc, dtype) — identical
-    values, hoisted by the caller for cross-chunk pipelining.
     """
     acc = _ACC
     SC, R = zc.shape
@@ -113,7 +107,7 @@ def mlp_forward_affine(
         A, B = consts[key]
         return (A[None] + z3 * B[None]).reshape(SC * R, A.shape[1])
 
-    S = S_pre if S_pre is not None else pe_sin_chunk(consts, zc, dtype)
+    S = pe_sin_chunk(consts, zc, dtype)
 
     h = None
     for i in range(cfg.D):

@@ -149,7 +149,7 @@ def make_ray_batch(
         H = H if H is not None else pipeline.H
         W = W if W is not None else pipeline.W
         focal = focal if focal is not None else pipeline.focal
-        if focal is None:
+        if focal is None or H is None or W is None:
             raise ValueError(
                 "NDC reprojection needs H/W/focal — pass them to "
                 "make_ray_batch or set them on the Pipeline"
@@ -429,6 +429,9 @@ def render_rays_joint(
         "depth_net_rgb_map": out.rgb_map,
         "depth_net_z_vals": depth_z,
         "max_z_vals": max_z,
+        # fine accumulated opacity for the fg/bg depth-loss split (see
+        # render_rays_train)
+        "acc_map": hier.fine.acc_map,
     }
 
 
@@ -467,6 +470,13 @@ def render_rays_eval(
     Eval uses perturb=0 and raw_noise_std=0 (reference create_nerf
     render_kwargs_test, nerf_utils.py:490-492).
     """
+    if mode == EvalMode.COMPARE_NERF and pipeline.mlp_impl == "pallas":
+        # COMPARE is the parity-diagnostic mode. The fused fast path runs
+        # it on fp32 kernels (_fused_fast_paths); when a config falls back
+        # HERE, keep the same precision contract by using the fp32 XLA
+        # path throughout — otherwise the hierarchical max_z target would
+        # carry bf16 noise the tightened 3e-4 tolerances assume away.
+        pipeline = dataclasses.replace(pipeline, mlp_impl="xla")
     ret: dict[str, jnp.ndarray] = {}
 
     if mode in (EvalMode.COMPARE_NERF, EvalMode.NERF_MAX, EvalMode.FULL_NERF):

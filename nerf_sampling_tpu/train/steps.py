@@ -415,14 +415,24 @@ def make_joint_train_step(
             img_loss = img2mse(out["rgb_map"], target)
             img_loss0 = img2mse(out["rgb0"], target)
             depth_img_loss = img2mse(out["depth_net_rgb_map"], target)
-            depth_loss = img2mse(out["depth_net_z_vals"], out["max_z_vals"])
+            acc = jax.lax.stop_gradient(out["acc_map"])
+            if pipeline.bg_depth_loss_weight != 1.0:  # same knob as depth mode
+                depth_loss = _weighted_depth_loss(
+                    out["depth_net_z_vals"], out["max_z_vals"], acc,
+                    pipeline.bg_depth_loss_weight,
+                )
+            else:  # reference objective
+                depth_loss = img2mse(out["depth_net_z_vals"], out["max_z_vals"])
+            diag = _fg_bg_depth_diagnostics(
+                out["depth_net_z_vals"], out["max_z_vals"], acc
+            )
             total = img_loss + img_loss0 + depth_img_loss + depth_loss
-            return total, (img_loss, depth_img_loss, depth_loss)
+            return total, (img_loss, depth_img_loss, depth_loss, diag)
 
         (ng, dg), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
             nerf_state.params, depth_state.params
         )
-        img_loss, depth_img_loss, depth_loss = aux
+        img_loss, depth_img_loss, depth_loss, diag = aux
 
         nu, n_opt = nerf_optimizer.update(ng, nerf_state.opt_state, nerf_state.params)
         new_nerf = optax.apply_updates(nerf_state.params, nu)
@@ -434,6 +444,7 @@ def make_joint_train_step(
             "img_loss": img_loss,
             "depth_net_loss": depth_loss,
             "psnr": mse2psnr(img_loss),
+            **diag,
         }
         return (
             TrainState(nerf_state.step + 1, new_nerf, n_opt),

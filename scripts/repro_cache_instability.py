@@ -49,7 +49,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", args.dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     # log cache activity so hits/misses are visible in stderr
-    os.environ.setdefault("JAX_COMPILATION_CACHE_EXPECT_PGLE", "0")
+    jax.config.update("jax_explain_cache_misses", True)
+    os.environ.setdefault("JAX_LOG_COMPILES", "1")
 
     import jax.numpy as jnp
     import numpy as np
