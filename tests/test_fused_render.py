@@ -506,3 +506,26 @@ class TestFusedModeDispatch:
         )
         rgb = np.asarray(out["depth_net_rgb_map"])
         assert rgb.shape == (H, W, 3) and np.isfinite(rgb).all()
+
+    def test_compare_nerf_fallback_forces_fp32_xla(self):
+        """A COMPARE config the fused fast path rejects (depth_only
+        populate) must keep the fp32 precision contract: the pallas
+        pipeline's fallback forces the fp32 XLA path, so its output is
+        bit-identical to an explicitly-XLA pipeline — without the fix the
+        hierarchical max_z target ran through bf16 kernels and carried
+        ~1e-3-z noise the tightened tolerances assume away."""
+        import dataclasses
+        from nerf_sampling_tpu.render import EvalMode, render_image
+
+        params, p_xla, p_pal, H, W, K, c2w = self._setup()
+        p_xla = dataclasses.replace(
+            p_xla, sampling_mode="depth_only", n_depth_samples=1
+        )
+        p_pal = dataclasses.replace(
+            p_pal, sampling_mode="depth_only", n_depth_samples=1
+        )
+        key = jax.random.PRNGKey(0)
+        a = render_image(p_xla, params, H, W, K, c2w, key, EvalMode.COMPARE_NERF)
+        b = render_image(p_pal, params, H, W, K, c2w, key, EvalMode.COMPARE_NERF)
+        for k in ("depth_net_rgb_map", "max_z_vals", "depth_net_z_vals"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

@@ -487,6 +487,46 @@ class TestJointTraining:
         for k in ("loss", "img_loss", "depth_net_loss", "psnr"):
             assert np.isfinite(float(m[k])), k
 
+    def test_joint_step_honors_bg_depth_loss_weight(self):
+        """Joint mode must apply bg_depth_loss_weight and emit the fg/bg
+        diagnostics like the depth_net mode (review finding: it silently
+        trained the full background-noise objective)."""
+        import dataclasses
+
+        from nerf_sampling_tpu.train.steps import make_joint_train_step
+
+        p = tiny_pipeline()
+        nopt = make_nerf_optimizer(1e-3, 250)
+        dopt = make_depth_optimizer(1e-3)
+        ro = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), (16, 1))
+        rd = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-0.2, maxval=0.2)
+        rd = rd.at[:, 2].set(-1.0)
+        target = jnp.full((16, 3), 0.5)
+
+        metrics = {}
+        for w in (1.0, 0.0):
+            pw = dataclasses.replace(p, bg_depth_loss_weight=w)
+            # fresh copies per arm: the jitted step donates its state
+            # buffers, which would delete a shared bundle's leaves
+            params = jax.tree.map(jnp.array, tiny_bundle(p))
+            ns = init_state(params._replace(depth=None), nopt)
+            ds = init_state(params.depth, dopt)
+            step = make_joint_train_step(pw, nopt, dopt)
+            rays = make_ray_batch(pw, ro, rd)
+            _, _, m = step(ns, ds, (rays, target), jax.random.PRNGKey(0))
+            metrics[w] = m
+        for m in metrics.values():
+            for k in ("depth_loss_fg", "depth_loss_bg", "fg_frac"):
+                assert k in m, k
+        # identical inputs: diagnostics agree, but the trained objective
+        # drops the background term under w=0
+        assert np.allclose(
+            float(metrics[1.0]["depth_loss_fg"]), float(metrics[0.0]["depth_loss_fg"])
+        )
+        assert float(metrics[0.0]["depth_net_loss"]) != float(
+            metrics[1.0]["depth_net_loss"]
+        )
+
     def test_trainer_joint_mode(self, tmp_path):
         datadir = generate_example_dataset(
             str(tmp_path / "data"), H=20, W=20, n_train=3, n_val=1, n_test=1
