@@ -12,6 +12,7 @@ from nerf_sampling_tpu.render.engine import (
     RayBatch,
     make_ray_batch,
     query_nerf,
+    render_flat_rays,
     render_image,
     render_rays_eval,
     render_rays_train,
@@ -26,6 +27,7 @@ __all__ = [
     "RayBatch",
     "make_ray_batch",
     "query_nerf",
+    "render_flat_rays",
     "render_image",
     "render_path",
     "render_rays_eval",

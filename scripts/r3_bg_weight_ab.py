@@ -1,4 +1,4 @@
-"""A/B: reference depth objective vs bg_depth_loss_weight=0 on example_hard.
+"""A/B: reference depth objective vs bg_depth_loss_weight=0 per scene.
 
 Both arms replicate the r2 50k recipe's evaluation protocol (half_res
 400^2, gaussian/64/1.0 populate, all 4 test views) with a finer eval
@@ -6,7 +6,9 @@ cadence (every 2500), 30k iters each, same frozen NeRF and seed. Arm A
 (weight 1.0) is the exact reference objective — expected to peak and
 drift; arm B (weight 0.0) removes the measured 85%-noise background term.
 
-Run on the TPU: PYTHONPATH=/root/repo:/root/.axon_site python scripts/r3_bg_weight_ab.py [n_iters]
+Run on the TPU:
+PYTHONPATH=/root/repo:/root/.axon_site python scripts/r3_bg_weight_ab.py [scene] [n_iters]
+(scene: example_hard (default) or example; n_iters default 30000)
 """
 
 from __future__ import annotations
@@ -22,14 +24,20 @@ from nerf_sampling_tpu.train.trainer import Trainer
 from nerf_sampling_tpu.utils.config import TrainerConfig
 
 
-def run(bg_weight: float, n_iters: int) -> dict:
+_NERF_CKPT = {
+    "example_hard": "logs/example_hard_nerf/020000.npz",
+    "example": "logs/example_nerf/020000.npz",
+}
+
+
+def run(scene: str, bg_weight: float, n_iters: int) -> dict:
     cfg = TrainerConfig(
         dataset_type="blender",
-        datadir=f"{ROOT_DIR}/dataset/example_hard",
+        datadir=f"{ROOT_DIR}/dataset/{scene}",
         basedir="logs/r3_bgw",
-        expname=f"hard_bgw_{bg_weight:g}",
+        expname=f"{scene}_bgw_{bg_weight:g}",
         train_mode="depth_net",
-        ft_path="logs/example_hard_nerf/020000.npz",
+        ft_path=_NERF_CKPT[scene],
         mlp_impl="pallas",
         n_layers=10,
         layer_width=256,
@@ -56,14 +64,15 @@ def run(bg_weight: float, n_iters: int) -> dict:
         for l in open(os.path.join(tr.expdir, "metrics.jsonl"))
     ]
     traj = [(r["step"], round(r["test_psnr"], 2)) for r in rows if "test_psnr" in r]
-    print(f"bgw={bg_weight}: eval trajectory {traj}; best {tr._best_psnr:.3f}")
-    return {"bg_weight": bg_weight, "traj": traj, "best": tr._best_psnr}
+    print(f"{scene} bgw={bg_weight}: eval trajectory {traj}; best {tr._best_psnr:.3f}")
+    return {"scene": scene, "bg_weight": bg_weight, "traj": traj, "best": tr._best_psnr}
 
 
 def main():
-    n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
-    a = run(1.0, n_iters)
-    b = run(0.0, n_iters)
+    scene = sys.argv[1] if len(sys.argv) > 1 else "example_hard"
+    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
+    a = run(scene, 1.0, n_iters)
+    b = run(scene, 0.0, n_iters)
     print(json.dumps({"A_reference": a, "B_fg_only": b}))
 
 
