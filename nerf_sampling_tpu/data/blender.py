@@ -2,7 +2,10 @@
 
 Parity target: reference load_blender.py:32-103 — same splits, testskip,
 focal from camera_angle_x, 40 spherical render poses (theta in [-180,180),
-phi=-30, r=4), optional half-res via cv2 INTER_AREA.
+phi=-30, r=4), optional half-res via cv2 INTER_AREA. The format (NeRF's
+synthetic-blender convention) dictates the JSON schema and the pose math;
+the code below derives the orbit pose in closed form instead of the
+reference's four-matrix product chain.
 """
 
 from __future__ import annotations
@@ -14,46 +17,67 @@ import numpy as np
 
 from nerf_sampling_tpu.data.types import SceneData
 
-
-def _trans_t(t: float) -> np.ndarray:
-    return np.array(
-        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, t], [0, 0, 0, 1]], dtype=np.float32
-    )
-
-
-def _rot_phi(phi: float) -> np.ndarray:
-    return np.array(
-        [
-            [1, 0, 0, 0],
-            [0, np.cos(phi), -np.sin(phi), 0],
-            [0, np.sin(phi), np.cos(phi), 0],
-            [0, 0, 0, 1],
-        ],
-        dtype=np.float32,
-    )
-
-
-def _rot_theta(th: float) -> np.ndarray:
-    return np.array(
-        [
-            [np.cos(th), 0, -np.sin(th), 0],
-            [0, 1, 0, 0],
-            [np.sin(th), 0, np.cos(th), 0],
-            [0, 0, 0, 1],
-        ],
-        dtype=np.float32,
-    )
+# OpenGL-style axis flip applied after the orbit rotation
+# (reference load_blender.py:36-42): x negated, y/z swapped.
 
 
 def pose_spherical(theta: float, phi: float, radius: float) -> np.ndarray:
-    """Camera-to-world for a spherical orbit pose (reference load_blender.py:32-43)."""
-    c2w = _trans_t(radius)
-    c2w = _rot_phi(phi / 180.0 * np.pi) @ c2w
-    c2w = _rot_theta(theta / 180.0 * np.pi) @ c2w
-    flip = np.array(
-        [[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], dtype=np.float32
+    """Camera-to-world for a spherical orbit pose, in closed form.
+
+    Equivalent to the reference's flip @ rot_theta(theta) @ rot_phi(phi)
+    @ trans_t(radius) product (load_blender.py:32-43), with the product
+    expanded analytically: the camera sits at radius along the rotated
+    -z, pitched by phi and yawed by theta, then axis-flipped into the
+    blender/NeRF convention.
+    """
+    th, ph = np.deg2rad(theta), np.deg2rad(phi)
+    ct, st = np.cos(th), np.sin(th)
+    cp, sp = np.cos(ph), np.sin(ph)
+    return np.array(
+        [
+            [-ct, st * sp, st * cp, radius * st * cp],
+            [st, ct * sp, ct * cp, radius * ct * cp],
+            [0.0, cp, -sp, -radius * sp],
+            [0.0, 0.0, 0.0, 1.0],
+        ],
+        dtype=np.float32,
     )
-    return flip @ c2w
+
+
+_SPLITS = ("train", "val", "test")
+
+
+def _split_frames(basedir: str, split: str, testskip: int) -> tuple:
+    """One split's images (raw RGBA uint8->unit float) and c2w poses.
+
+    Frame subsampling matches the reference: the train split and
+    testskip=0 keep every frame; val/test keep every ``testskip``-th
+    (load_blender.py:55-60).
+    """
+    import imageio.v2 as imageio
+
+    with open(os.path.join(basedir, f"transforms_{split}.json")) as fp:
+        meta = json.load(fp)
+    step = testskip if (split != "train" and testskip != 0) else 1
+    frames = meta["frames"][::step]
+    images = np.stack(
+        [
+            imageio.imread(os.path.join(basedir, f["file_path"] + ".png"))
+            for f in frames
+        ]
+    )
+    poses = np.stack([f["transform_matrix"] for f in frames]).astype(np.float32)
+    return (images / 255.0).astype(np.float32), poses, meta
+
+
+def _halve_resolution(images: np.ndarray) -> np.ndarray:
+    """Area-downsample every image to half size (load_blender.py:88-99)."""
+    import cv2
+
+    H2, W2 = images.shape[1] // 2, images.shape[2] // 2
+    return np.stack(
+        [cv2.resize(im, (W2, H2), interpolation=cv2.INTER_AREA) for im in images]
+    )
 
 
 def load_blender_data(
@@ -64,60 +88,35 @@ def load_blender_data(
     Keeps all 4 RGBA channels; white-background compositing is the trainer's
     choice via SceneData.composite_white_background().
     """
-    import imageio.v2 as imageio
+    per_split = {s: _split_frames(basedir, s, testskip) for s in _SPLITS}
 
-    splits = ["train", "val", "test"]
-    metas = {}
-    for s in splits:
-        with open(os.path.join(basedir, f"transforms_{s}.json"), "r") as fp:
-            metas[s] = json.load(fp)
-
-    all_imgs, all_poses, counts = [], [], [0]
-    for s in splits:
-        meta = metas[s]
-        skip = 1 if (s == "train" or testskip == 0) else testskip
-        imgs, poses = [], []
-        for frame in meta["frames"][::skip]:
-            fname = os.path.join(basedir, frame["file_path"] + ".png")
-            imgs.append(imageio.imread(fname))
-            poses.append(np.array(frame["transform_matrix"]))
-        imgs = (np.array(imgs) / 255.0).astype(np.float32)
-        poses = np.array(poses).astype(np.float32)
-        counts.append(counts[-1] + imgs.shape[0])
-        all_imgs.append(imgs)
-        all_poses.append(poses)
-
-    i_split = [np.arange(counts[i], counts[i + 1]) for i in range(3)]
-    imgs = np.concatenate(all_imgs, 0)
-    poses = np.concatenate(all_poses, 0)
-
-    H, W = imgs[0].shape[:2]
-    camera_angle_x = float(metas["train"]["camera_angle_x"])
-    focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
-
-    render_poses = np.stack(
-        [pose_spherical(angle, -30.0, 4.0) for angle in np.linspace(-180, 180, 41)[:-1]],
-        0,
+    images = np.concatenate([per_split[s][0] for s in _SPLITS], 0)
+    poses = np.concatenate([per_split[s][1] for s in _SPLITS], 0)
+    edges = np.cumsum([0] + [len(per_split[s][0]) for s in _SPLITS])
+    i_train, i_val, i_test = (
+        np.arange(edges[k], edges[k + 1]) for k in range(3)
     )
 
-    if half_res:
-        import cv2
+    H, W = images.shape[1:3]
+    camera_angle_x = float(per_split["train"][2]["camera_angle_x"])
+    focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
 
-        H, W = H // 2, W // 2
-        focal = focal / 2.0
-        imgs_half = np.zeros((imgs.shape[0], H, W, imgs.shape[-1]), dtype=np.float32)
-        for i, img in enumerate(imgs):
-            imgs_half[i] = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
-        imgs = imgs_half
+    # 40-pose orbit at phi=-30, r=4: theta in [-180, 180) (load_blender.py:75-77)
+    orbit = np.linspace(-180, 180, 41)[:-1]
+    render_poses = np.stack([pose_spherical(t, -30.0, 4.0) for t in orbit], 0)
+
+    if half_res:
+        images = _halve_resolution(images)
+        H, W, focal = H // 2, W // 2, focal / 2.0
 
     return SceneData(
-        images=imgs,
+        images=images,
         poses=poses,
         render_poses=render_poses,
         hwf=(int(H), int(W), focal),
-        i_train=i_split[0],
-        i_val=i_split[1],
-        i_test=i_split[2],
+        i_train=i_train,
+        i_val=i_val,
+        i_test=i_test,
         near=2.0,
         far=6.0,
     )
