@@ -100,12 +100,28 @@ def maybe_initialize_distributed(cfg) -> None:
     """Multi-host wiring: call jax.distributed.initialize when configured.
 
     The reference is single-process (SURVEY.md §2); here a multi-host pod
-    run sets ``multihost=True`` (or the standard JAX coordinator env vars)
-    and every host joins the same mesh before Trainer.train builds it.
-    Safe no-op on single-host setups.
+    run sets ``multihost=True`` and every host joins the same mesh before
+    Trainer.train builds it. Cluster parameters come from
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID when set
+    (manual launch — jax's no-arg initialize only auto-detects managed
+    clusters like SLURM/OMPI/TPU pods), else jax auto-detection. Safe
+    no-op on single-host setups. Exercised by the real 2-process CPU
+    cluster in tests/test_multihost.py.
     """
     if not getattr(cfg, "multihost", False):
         return
+    import os as _os
+
     import jax as _jax
 
-    _jax.distributed.initialize()  # coordinator/num_processes from env
+    addr = _os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = _os.environ.get("JAX_NUM_PROCESSES")
+    pid = _os.environ.get("JAX_PROCESS_ID")
+    if addr and nproc and pid is not None:
+        _jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    else:
+        _jax.distributed.initialize()  # managed-cluster auto-detection

@@ -1,0 +1,138 @@
+"""Multi-host smoke worker: one process of a real jax.distributed cluster.
+
+Exercises the production multi-host wiring
+(parallel/ops.py::maybe_initialize_distributed + the sharded train steps)
+on a 2-process CPU cluster with 4 virtual devices per process — the same
+code path a TPU pod slice takes (per-host jax.distributed.initialize, one
+global mesh, jax.make_array_from_process_local_data for the host-local
+batch shard, Gloo/ICI collectives inserted by XLA). The reference has no
+distributed execution of any kind (SURVEY.md §2: single process, single
+device); this is the TPU-native scale-out analog.
+
+Launched by tests/test_multihost.py (2 workers + in-test single-process
+ground truth), or by hand:
+
+    JAX_COORDINATOR_ADDRESS=localhost:12360 JAX_NUM_PROCESSES=2 \
+    JAX_PROCESS_ID=0 python scripts/multihost_smoke.py /tmp/out0.json &
+    JAX_COORDINATOR_ADDRESS=localhost:12360 JAX_NUM_PROCESSES=2 \
+    JAX_PROCESS_ID=1 python scripts/multihost_smoke.py /tmp/out1.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from types import SimpleNamespace
+
+# Backend env must be set before jax initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=4"
+    ).strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+N_RAYS = 64  # global batch
+N_STEPS = 3
+
+
+def make_global_batch(p, mesh):
+    """Deterministic global ray batch, assembled from process-local rows.
+
+    Every process computes the same full batch with numpy, then
+    contributes only its local rows via
+    jax.make_array_from_process_local_data — exactly how a pod host feeds
+    its shard of a globally-sharded batch.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nerf_sampling_tpu.render import make_ray_batch
+
+    rng = np.random.default_rng(0)
+    ro = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (N_RAYS, 1))
+    rd = (rng.standard_normal((N_RAYS, 3)) * 0.2).astype(np.float32)
+    rd[:, 2] = -1.0
+    target = np.full((N_RAYS, 3), 0.25, np.float32)
+    rays = make_ray_batch(p, jnp.asarray(ro), jnp.asarray(rd))
+
+    sh = NamedSharding(mesh, P("rays"))
+    nproc = jax.process_count()
+    rows = N_RAYS // nproc
+    lo = jax.process_index() * rows
+
+    def globalize(leaf):
+        if leaf is None:
+            return None
+        arr = np.asarray(leaf)
+        return jax.make_array_from_process_local_data(
+            sh, arr[lo : lo + rows], global_shape=arr.shape
+        )
+
+    return jax.tree.map(globalize, (rays, target))
+
+
+def main() -> None:
+    out_path = sys.argv[1]
+
+    from nerf_sampling_tpu.parallel.ops import maybe_initialize_distributed
+
+    maybe_initialize_distributed(SimpleNamespace(multihost=True))
+    assert jax.process_count() > 1, "cluster did not form"
+
+    from jax.sharding import Mesh
+
+    from nerf_sampling_tpu.models import NeRFConfig, nerf_init
+    from nerf_sampling_tpu.parallel.ops import make_sharded_nerf_train_step
+    from nerf_sampling_tpu.render import NeRFParams, Pipeline
+    from nerf_sampling_tpu.train.state import init_state, make_nerf_optimizer
+
+    cfg = NeRFConfig(
+        D=3, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+        skips=(1,), use_viewdirs=True,
+    )
+    p = Pipeline(nerf=cfg, fine=cfg, N_samples=8, N_importance=8)
+    params = NeRFParams(
+        coarse=nerf_init(jax.random.PRNGKey(0), cfg),
+        fine=nerf_init(jax.random.PRNGKey(1), cfg),
+    )
+    opt = make_nerf_optimizer(1e-3, 250)
+    state = init_state(params, opt)
+
+    mesh = Mesh(np.array(jax.devices()), ("rays",))
+    step = make_sharded_nerf_train_step(p, opt, mesh)
+    batch = make_global_batch(p, mesh)
+
+    losses = []
+    for i in range(N_STEPS):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    checksum = float(
+        sum(jnp.sum(jnp.abs(leaf)) for leaf in jax.tree.leaves(state.params))
+    )
+
+    with open(out_path, "w") as fp:
+        json.dump(
+            {
+                "process_id": jax.process_index(),
+                "n_processes": jax.process_count(),
+                "n_devices": len(jax.devices()),
+                "losses": losses,
+                "param_checksum": checksum,
+            },
+            fp,
+        )
+    print(f"[multihost_smoke p{jax.process_index()}] losses={losses}")
+
+
+if __name__ == "__main__":
+    main()
