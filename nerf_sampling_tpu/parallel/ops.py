@@ -114,14 +114,21 @@ def maybe_initialize_distributed(cfg) -> None:
 
     import jax as _jax
 
-    addr = _os.environ.get("JAX_COORDINATOR_ADDRESS")
-    nproc = _os.environ.get("JAX_NUM_PROCESSES")
-    pid = _os.environ.get("JAX_PROCESS_ID")
-    if addr and nproc and pid is not None:
+    names = ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+    vals = {n: _os.environ.get(n) for n in names}
+    set_vars = [n for n, v in vals.items() if v]
+    if set_vars and len(set_vars) != len(names):
+        missing = sorted(set(names) - set(set_vars))
+        raise ValueError(
+            "multihost=True with a partial manual cluster spec: "
+            f"{set_vars} set but {missing} missing/empty — set all three "
+            "or none (none = managed-cluster auto-detection)"
+        )
+    if set_vars:
         _jax.distributed.initialize(
-            coordinator_address=addr,
-            num_processes=int(nproc),
-            process_id=int(pid),
+            coordinator_address=vals["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(vals["JAX_NUM_PROCESSES"]),
+            process_id=int(vals["JAX_PROCESS_ID"]),
         )
     else:
         _jax.distributed.initialize()  # managed-cluster auto-detection

@@ -81,14 +81,13 @@ def make_global_batch(p, mesh):
     return jax.tree.map(globalize, (rays, target))
 
 
-def main() -> None:
-    out_path = sys.argv[1]
+def build_setup():
+    """Pipeline + initial state + global mesh + sharded step.
 
-    from nerf_sampling_tpu.parallel.ops import maybe_initialize_distributed
-
-    maybe_initialize_distributed(SimpleNamespace(multihost=True))
-    assert jax.process_count() > 1, "cluster did not form"
-
+    Shared by the worker and the single-process ground truth in
+    tests/test_multihost.py so the two computations are structurally
+    identical.
+    """
     from jax.sharding import Mesh
 
     from nerf_sampling_tpu.models import NeRFConfig, nerf_init
@@ -107,9 +106,20 @@ def main() -> None:
     )
     opt = make_nerf_optimizer(1e-3, 250)
     state = init_state(params, opt)
-
     mesh = Mesh(np.array(jax.devices()), ("rays",))
     step = make_sharded_nerf_train_step(p, opt, mesh)
+    return p, state, mesh, step
+
+
+def main() -> None:
+    out_path = sys.argv[1]
+
+    from nerf_sampling_tpu.parallel.ops import maybe_initialize_distributed
+
+    maybe_initialize_distributed(SimpleNamespace(multihost=True))
+    assert jax.process_count() > 1, "cluster did not form"
+
+    p, state, mesh, step = build_setup()
     batch = make_global_batch(p, mesh)
 
     losses = []

@@ -48,9 +48,10 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", args.dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    # log cache activity so hits/misses are visible in stderr
+    # log cache activity so hits/misses are visible in stderr (env vars
+    # are bound at jax import time — config.update is the reliable path)
     jax.config.update("jax_explain_cache_misses", True)
-    os.environ.setdefault("JAX_LOG_COMPILES", "1")
+    jax.config.update("jax_log_compiles", True)
 
     import jax.numpy as jnp
     import numpy as np

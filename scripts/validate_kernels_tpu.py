@@ -177,7 +177,13 @@ def main() -> None:
     # numeric budget applies to the hitting rays only.
     za, zb = a["depth_net_z_vals"], b["depth_net_z_vals"]
     mask_match = bool(jnp.array_equal(jnp.isnan(za), jnp.isnan(zb)))
-    hit = ~jnp.isnan(za).any(axis=-1)
+    # stats over rays finite in BOTH paths, so a mask mismatch (reported
+    # above) can't NaN-poison the magnitudes of the remaining divergence
+    hit = ~(jnp.isnan(za) | jnp.isnan(zb)).any(axis=-1)
+    if not bool(hit.any()):
+        print("COMPARE fp32 dispatch vs XLA: no rays hit the sphere — "
+              "check the ray setup")
+        return
     dz = float(jnp.abs(za - zb)[hit].max())
     dr = jnp.abs(a["depth_net_rgb_map"] - b["depth_net_rgb_map"])[hit]
     drgb_med = float(jnp.median(dr))

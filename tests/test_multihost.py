@@ -38,30 +38,37 @@ def _free_port() -> int:
 def test_two_process_cluster_matches_single_process(tmp_path):
     port = _free_port()
     procs, outs = [], []
-    for pid in range(2):
-        out = tmp_path / f"mh_{pid}.json"
-        outs.append(out)
-        env = dict(
-            os.environ,
-            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
-            JAX_NUM_PROCESSES="2",
-            JAX_PROCESS_ID=str(pid),
-            PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
-        )
-        # the workers pin their own backend env (cpu, 4 devices each)
-        env.pop("XLA_FLAGS", None)
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, WORKER, str(out)],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                text=True,
+    try:
+        for pid in range(2):
+            out = tmp_path / f"mh_{pid}.json"
+            outs.append(out)
+            env = dict(
+                os.environ,
+                JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                JAX_NUM_PROCESSES="2",
+                JAX_PROCESS_ID=str(pid),
+                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
             )
-        )
-    logs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+            # the workers pin their own backend env (cpu, 4 devices each)
+            env.pop("XLA_FLAGS", None)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, WORKER, str(out)],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                )
+            )
+        logs = [p.communicate(timeout=600)[0] for p in procs]
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+    finally:
+        # a worker deadlocked in a collective would otherwise outlive the
+        # test (Gloo waits forever for its peer)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
     results = [json.loads(out.read_text()) for out in outs]
     for r in results:
@@ -72,34 +79,17 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     assert results[0]["param_checksum"] == results[1]["param_checksum"]
 
     # ground truth: identical computation on this process's local
-    # 8-device mesh (conftest forces 8 virtual CPU devices here)
+    # 8-device mesh (conftest forces 8 virtual CPU devices here), built
+    # by the same build_setup the workers use
     import importlib.util
 
     import jax
-    from jax.sharding import Mesh
-
-    from nerf_sampling_tpu.models import NeRFConfig, nerf_init
-    from nerf_sampling_tpu.parallel.ops import make_sharded_nerf_train_step
-    from nerf_sampling_tpu.render import NeRFParams, Pipeline
-    from nerf_sampling_tpu.train.state import init_state, make_nerf_optimizer
 
     spec = importlib.util.spec_from_file_location("mh_smoke", WORKER)
     smoke = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(smoke)
 
-    cfg = NeRFConfig(
-        D=3, W=32, input_ch=63, input_ch_views=27, output_ch=5,
-        skips=(1,), use_viewdirs=True,
-    )
-    p = Pipeline(nerf=cfg, fine=cfg, N_samples=8, N_importance=8)
-    params = NeRFParams(
-        coarse=nerf_init(jax.random.PRNGKey(0), cfg),
-        fine=nerf_init(jax.random.PRNGKey(1), cfg),
-    )
-    opt = make_nerf_optimizer(1e-3, 250)
-    state = init_state(params, opt)
-    mesh = Mesh(np.array(jax.devices()), ("rays",))
-    step = make_sharded_nerf_train_step(p, opt, mesh)
+    p, state, mesh, step = smoke.build_setup()
     batch = smoke.make_global_batch(p, mesh)
     losses = []
     for i in range(smoke.N_STEPS):
