@@ -135,7 +135,7 @@ class TrainerConfig:
     # execution backend for the NeRF MLP ("xla" | "pallas"; see Pipeline)
     mlp_impl: str = "xla"
     # train steps fused into one dispatch via lax.scan (steps.make_multi_step).
-    # 0 = auto: the largest divisor of the logging cadences <= 32 on a real
+    # 0 = auto: the largest divisor of the logging cadences <= 100 on a real
     # accelerator (per-step dispatch through the remote tunnel costs
     # milliseconds), 1 on cpu / when profiling. Composes with the device
     # mesh (the scan is jitted with the batch stack sharded on rays).

@@ -134,3 +134,94 @@ class TestLegacyCliBuildConfig:
         assert cfg.N_importance == 128  # file value kept (CLI default)
         assert cfg.datadir == "/tmp/x"
         assert cfg.train_mode == "nerf"  # legacy CLI trains vanilla NeRF
+
+
+class TestCliEndToEnd:
+    """Drive the production CLIs end-to-end on a tiny generated scene (CPU).
+
+    The Trainer e2e tests construct TrainerConfig directly; this is the
+    automated check of the reference flag surface -> config -> Trainer
+    wiring (reference experiments/run.py + render.py): train a NeRF via
+    run.py, train a DepthNet against its checkpoint via run.py, then render
+    the test split via render.py, asserting the artifact chain
+    (npz + torch-tar checkpoints, psnr.txt) comes out the other end.
+    """
+
+    def _tiny_yaml(self, tmp_path):
+        p = tmp_path / "tiny.yaml"
+        p.write_text(
+            "tiny_module:\n"
+            "  module: nerf_sampling_tpu.train.trainer.Trainer\n"
+            "  kwargs:\n"
+            "    dataset_type: blender\n"
+            "    N_rand: 16\n"
+            "    netdepth: 2\n"
+            "    netwidth: 16\n"
+            "    netdepth_fine: 2\n"
+            "    netwidth_fine: 16\n"
+            "    N_samples: 4\n"
+            "    N_importance: 4\n"
+            "    half_res: False\n"
+            "    testskip: 1\n"
+            "    i_weights: 2\n"
+            "    i_testset: 1000\n"
+            "    i_video: 1000\n"
+            "    precrop_iters: 1\n"
+        )
+        return str(p)
+
+    def test_train_then_depth_then_render(self, tmp_path):
+        from click.testing import CliRunner
+
+        from nerf_sampling_tpu.data.example import generate_example_dataset
+        from nerf_sampling_tpu.experiments import render as render_cli
+        from nerf_sampling_tpu.experiments import run as run_cli
+
+        datadir = generate_example_dataset(
+            str(tmp_path / "data"), H=16, W=16, n_train=2, n_val=1, n_test=1
+        )
+        yaml_path = self._tiny_yaml(tmp_path)
+        logs = tmp_path / "logs"
+        runner = CliRunner()
+
+        # 1. vanilla NeRF pretrain through the CLI (2 steps, ckpt at step 2)
+        res = runner.invoke(
+            run_cli.main,
+            ["-c", yaml_path, "-m", "tiny_module", "-dp", datadir,
+             "--mode", "nerf", "--n_iters", "2", "--basedir", str(logs),
+             "-ip", "1"],
+            catch_exceptions=False,
+        )
+        assert res.exit_code == 0, res.output
+        nerf_ckpt = logs / "custom_nerf" / "000002.npz"
+        assert nerf_ckpt.exists(), res.output
+        # every save also exports the reference-format torch tar
+        assert (logs / "custom_nerf" / "000002.tar").exists()
+
+        # 2. DepthNet training against the frozen NeRF checkpoint
+        res = runner.invoke(
+            run_cli.main,
+            ["-c", yaml_path, "-m", "tiny_module", "-dp", datadir,
+             "--mode", "depth_net", "--n_iters", "2", "--basedir", str(logs),
+             "-ip", "1", "--ft_path", str(nerf_ckpt)],
+            catch_exceptions=False,
+        )
+        assert res.exit_code == 0, res.output
+        depth_ckpt = logs / "custom_depth_net" / "depth_000002.npz"
+        assert depth_ckpt.exists(), res.output
+
+        # 3. render the test split with the DepthNet sampler (reference
+        #    render.py default operating point: 2 uniform samples)
+        res = runner.invoke(
+            render_cli.main,
+            ["-c", yaml_path, "-m", "tiny_module", "-dp", datadir,
+             "-rt", "-tmp", "--basedir", str(logs), "--mlp_impl", "xla",
+             "--ft_path", str(nerf_ckpt),
+             "--depth_net_path", str(depth_ckpt)],
+            catch_exceptions=False,
+        )
+        assert res.exit_code == 0, res.output
+        renderdirs = list((logs / "tmp").glob("renderonly_test_*"))
+        assert renderdirs, res.output
+        assert (renderdirs[0] / "psnr.txt").exists()
+        assert "Final psnr" in res.output
