@@ -6,6 +6,7 @@ latency-corrected krays/s medians (the tunnel's dispatch+sync round-trip is
 one dispatch covers 640k rays).
 """
 import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/nerf_sampling_tpu_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
