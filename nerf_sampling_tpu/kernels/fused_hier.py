@@ -162,9 +162,15 @@ def _kernel(
     else:
         zc_s[:] = z_det
 
+    # Deterministic coarse z is the constant-step linspace grid: bf16
+    # kernels take the rotation-recurrence PE (see fused_render._kernel);
+    # stochastic jitter and lindisp z are not constant-step.
+    z_step = None
+    if not stochastic and not lindisp and dtype == jnp.bfloat16:
+        z_step = (float(near), (far - near) / max(Sc - 1, 1))
     _mlp_plane_loop(
         cfg_c, dtype, Sc, R, lambda s0, SC: zc_s[pl.ds(s0, SC)],
-        o, d, viewdirs, F, P, w_c, (sigc_s,), heads="sigma",
+        o, d, viewdirs, F, P, w_c, (sigc_s,), heads="sigma", z_step=z_step,
     )
     z_c = zc_s[:]
     dists_c = ops.sorted_dists(z_c, d_norm_row)

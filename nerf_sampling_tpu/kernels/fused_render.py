@@ -70,7 +70,7 @@ TPU_VMEM_LIMIT = 100 * 1024 * 1024
 
 def _mlp_plane_loop(
     cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w, scratch, heads="full",
-    chunk_rows=None,
+    chunk_rows=None, z_step=None,
 ):
     """Stream the MLP over sample chunks, filling [S, R] scratch planes.
 
@@ -79,6 +79,12 @@ def _mlp_plane_loop(
     ``scratch`` = (sigma_s, r_s, g_s, b_s), or only sigma_s with
     ``heads="sigma"`` (skips the views branch — coarse eval passes never
     read rgb).
+
+    z_step: optional static (z0, dz) when the z grid is constant-step
+    (z_s = z0 + s*dz, identical for every ray — the linspace eval grid).
+    Switches the PE from a per-sample transcendental sin to the rotation
+    recurrence (ops.pe_rotation_consts): one sin/cos pair per ray tile,
+    then 4 FMAs per sample step.
     """
     acc = jnp.float32
     if heads == "sigma":
@@ -95,11 +101,20 @@ def _mlp_plane_loop(
     # chunk loop below is broadcast-FMA + trunk matmuls only — no per-chunk
     # [*, 8] input build, PE matmul, or small-K emb passes.
     consts = ops.ray_affine_consts(cfg, dtype, o, d, viewdirs, F, P, w, heads)
+    if z_step is not None:
+        z0, dz = z_step
+        pe_state0, pe_rot = ops.pe_rotation_consts(consts, P, z0, dz)
+    else:
+        pe_state0 = pe_rot = None
 
-    def chunk(s0_static_or_dyn, SC):
+    def chunk(s0_static_or_dyn, SC, pe_state):
         zc = z_read(s0_static_or_dyn, SC)  # [SC, R]
+        if pe_state is not None:
+            pe_S, pe_state = ops.pe_rotate_chunk(pe_state, pe_rot, SC, dtype)
+        else:
+            pe_S = None
         raw = ops.mlp_forward_affine(
-            cfg, dtype, zc, consts, w, heads=heads
+            cfg, dtype, zc, consts, w, heads=heads, pe_S=pe_S
         )  # [SC*R, 4]
         sl = pl.ds(s0_static_or_dyn, SC)
         sigma_s[sl] = raw[:, 3].reshape(SC, R)
@@ -107,6 +122,7 @@ def _mlp_plane_loop(
             r_s[sl] = jax.nn.sigmoid(raw[:, 0].reshape(SC, R))
             g_s[sl] = jax.nn.sigmoid(raw[:, 1].reshape(SC, R))
             b_s[sl] = jax.nn.sigmoid(raw[:, 2].reshape(SC, R))
+        return pe_state
 
     # Static unroll when the chunk count is small: a fori_loop serializes
     # against Mosaic's software pipelining and measured ~2x slower at S=64
@@ -121,15 +137,22 @@ def _mlp_plane_loop(
     # ~1.5x gap to the matmul ceiling is VPU issue-rate bound, not a
     # scheduling artifact, so the simple unroll is kept.)
     if n_chunks <= 16:
+        pe_state = pe_state0
         for i in range(n_chunks):
-            chunk(i * SC, SC)
-    else:
+            pe_state = chunk(i * SC, SC, pe_state)
+    elif pe_state0 is None:
 
         def body(i, _):
-            chunk(pl.multiple_of(i * SC, SC), SC)
+            chunk(pl.multiple_of(i * SC, SC), SC, None)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
+    else:
+
+        def body_rot(i, pe_state):
+            return chunk(pl.multiple_of(i * SC, SC), SC, pe_state)
+
+        jax.lax.fori_loop(0, n_chunks, body_rot, pe_state0)
 
 
 def _kernel(
@@ -145,6 +168,7 @@ def _kernel(
     refs,
     scratch,
     chunk_rows=None,
+    pe_rotation=None,
 ):
     """z_source: "linspace" | "around_center" (static offsets input) |
     "input" (pre-transposed [S, N] z-values input) | "gaussian"
@@ -210,9 +234,22 @@ def _kernel(
     def z_read(s0, SC):
         return z_s[pl.ds(s0, SC)]
 
+    # The plain linspace grid has a compile-time-constant z step shared by
+    # every ray: the PE can run as the rotation recurrence (one sin/cos per
+    # tile) instead of a transcendental per sample. lindisp z is not
+    # constant-step; the other sources are per-ray data. Auto (None) enables
+    # it only for bf16 kernels: the recurrence's fp32 phase drift (~2e-4 at
+    # S=64 on the 2^9 frequency) is 40x below bf16 matmul rounding but WOULD
+    # show against the 2e-4-class fp32 diagnostic tolerances.
+    if pe_rotation is None:
+        pe_rotation = dtype == jnp.bfloat16
+    z_step = None
+    if z_source == "linspace" and not lindisp and pe_rotation:
+        z_step = (float(near), (far - near) / max(S - 1, 1))
+
     _mlp_plane_loop(
         cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w,
-        (sigma_s, r_s, g_s, b_s), chunk_rows=chunk_rows,
+        (sigma_s, r_s, g_s, b_s), chunk_rows=chunk_rows, z_step=z_step,
     )
 
     # --- compositing
@@ -236,15 +273,17 @@ def _kernel(
     static_argnames=(
         "cfg", "dtype", "n_samples", "near", "far", "white_bkgd", "tile",
         "interpret", "z_source", "lindisp", "std", "chunk_rows",
+        "pe_rotation",
     ),
 )
 def _call(rays, z_arg, F, P, packed_flat, cfg, dtype, n_samples, near, far,
           white_bkgd, tile, interpret, z_source="linspace", lindisp=False,
-          std=0.0, chunk_rows=None):
+          std=0.0, chunk_rows=None, pe_rotation=None):
     def kern(*refs_and_scratch):
         refs, scratch = refs_and_scratch[:-5], refs_and_scratch[-5:]
         _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source,
-                lindisp, std, refs, scratch, chunk_rows=chunk_rows)
+                lindisp, std, refs, scratch, chunk_rows=chunk_rows,
+                pe_rotation=pe_rotation)
 
     in_arrays = [rays]
     in_specs = [pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -342,12 +381,15 @@ def fused_render(
     tile: int | None = None,
     interpret: bool = False,
     chunk_rows: int | None = None,
+    pe_rotation: bool | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Deterministic-eval render of N rays in one fused kernel.
 
     Returns {"rgb_map" [N,3], "disp_map" [N], "acc_map" [N], "depth_map" [N]}
     matching the composable pipeline (stratified_z_vals(perturb=0) ->
-    nerf_apply -> raw2outputs) up to kernel dtype.
+    nerf_apply -> raw2outputs) up to kernel dtype. pe_rotation: None (auto)
+    uses the rotation-recurrence PE for bf16 kernels only; True/False force
+    it on/off (A/B benchmarking, fp32 drift tests).
     """
     _check_samples(n_samples)
     if tile is None:
@@ -360,7 +402,7 @@ def fused_render(
     out = _call(
         rays, None, F, P, packed_flat, cfg, dtype, n_samples, float(near),
         float(far), bool(white_bkgd), tile, interpret, lindisp=bool(lindisp),
-        chunk_rows=chunk_rows,
+        chunk_rows=chunk_rows, pe_rotation=pe_rotation,
     )[:, :n]
     return _maps_from_rows(out)
 

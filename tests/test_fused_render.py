@@ -150,6 +150,75 @@ class TestFusedRenderLargeS:
         )
 
 
+class TestRotationPE:
+    """The rotation-recurrence PE (ops.pe_rotation_consts) vs jnp.sin."""
+
+    def _consts(self, rng, R):
+        from nerf_sampling_tpu.kernels.fused_nerf import _pe_matrices
+
+        F, P = _pe_matrices(10, 4)
+        o = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (R, 1))
+        d = (rng.standard_normal((R, 3)) * 0.2).astype(np.float32)
+        d[:, 2] = -1.0
+        vd = d / np.linalg.norm(d, axis=1, keepdims=True)
+        XDIM = F.shape[0]
+        X_o = np.concatenate([o, vd, np.zeros((R, XDIM - 6), np.float32)], 1)
+        X_d = np.concatenate([d, np.zeros((R, XDIM - 3), np.float32)], 1)
+        return {"pe": (jnp.asarray(X_o @ F + P), jnp.asarray(X_d @ F))}, jnp.asarray(P)
+
+    def test_recurrence_drift_bounded(self, rng):
+        """fp32 drift over S=64 steps stays in the 1e-3 class even on the
+        2^9 frequency lanes (the phase error of the fp32 rotation constant
+        accumulates linearly) — 8x below bf16 resolution, which is why the
+        production kernels enable the recurrence for bf16 only."""
+        from nerf_sampling_tpu.kernels import ops
+
+        consts, P = self._consts(rng, 64)
+        AF, BF = consts["pe"]
+        S, near, far = 64, 2.0, 6.0
+        dz = (far - near) / (S - 1)
+        state, rot = ops.pe_rotation_consts(consts, P, near, dz)
+        got, _ = ops.pe_rotate_chunk(state, rot, S, jnp.float32)  # [S*R, PAD]
+        z = near + dz * np.arange(S, dtype=np.float32)
+        want = jnp.sin(AF[None] + z[:, None, None] * BF[None]).reshape(got.shape)
+        err = float(jnp.max(jnp.abs(got - want)))
+        assert err < 2e-3, err
+
+    def test_kernel_bf16_rotation_matches_sin(self, rng):
+        """Auto mode (bf16) takes the recurrence; the delta vs the
+        transcendental path must stay within bf16 rounding noise."""
+        cfg = NeRFConfig(
+            D=2, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(), use_viewdirs=True,
+        )
+        params = nerf_init_active(jax.random.PRNGKey(7), cfg)
+        ro, rd = make_rays(128, rng)
+        a = fused_render(params, cfg, ro, rd, n_samples=16, interpret=True)
+        b = fused_render(
+            params, cfg, ro, rd, n_samples=16, interpret=True, pe_rotation=False
+        )
+        err = float(jnp.max(jnp.abs(a["rgb_map"] - b["rgb_map"])))
+        assert err < 0.02, err
+
+    def test_fp32_auto_keeps_transcendental(self, rng):
+        """fp32 diagnostic kernels must stay bit-identical to the
+        transcendental path (auto gating)."""
+        cfg = NeRFConfig(
+            D=2, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(), use_viewdirs=True,
+        )
+        params = nerf_init_active(jax.random.PRNGKey(8), cfg)
+        ro, rd = make_rays(128, rng)
+        a = fused_render(
+            params, cfg, ro, rd, n_samples=16, dtype=jnp.float32, interpret=True
+        )
+        b = fused_render(
+            params, cfg, ro, rd, n_samples=16, dtype=jnp.float32,
+            interpret=True, pe_rotation=False,
+        )
+        assert float(jnp.max(jnp.abs(a["rgb_map"] - b["rgb_map"]))) == 0.0
+
+
 class TestUnsortedCompositing:
     def test_shuffled_z_matches_sorted(self, rng):
         """The order-free compositor (assume_sorted=False) must reproduce the
