@@ -50,8 +50,10 @@ _RAYS_PER_TILE = 128  # lanes of the [S, R] compositing blocks
 
 def _default_tile(n_samples: int) -> int:
     """Rays per Pallas program: wider tiles amortize fixed per-program cost
-    at small S (measured +7%% at S=64); Mosaic fails to compile 256-lane
-    plane ops at S>=192, so large S stays at 128."""
+    at small S (measured +7%% at S=64). Large S stays at 128: 256-lane
+    plane ops at S>=192 compile only at chunk_rows=2048 (Mosaic 500s at
+    1024) for a tied-at-best throughput (695 vs 690 corrected krays/s,
+    r3 sweep), and the rotation-free stochastic paths prefer 128."""
     return 256 if n_samples <= 64 else _RAYS_PER_TILE
 
 
