@@ -72,7 +72,7 @@ TPU_VMEM_LIMIT = 100 * 1024 * 1024
 
 def _mlp_plane_loop(
     cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w, scratch, heads="full",
-    chunk_rows=None, z_step=None,
+    chunk_rows=None, z_step=None, pe_provider_fn=None,
 ):
     """Stream the MLP over sample chunks, filling [S, R] scratch planes.
 
@@ -87,6 +87,13 @@ def _mlp_plane_loop(
     Switches the PE from a per-sample transcendental sin to the rotation
     recurrence (ops.pe_rotation_consts): one sin/cos pair per ray tile,
     then 4 FMAs per sample step.
+
+    pe_provider_fn: optional thunk building an ops.PEOffsetRotation-style
+    provider (``.next_chunk(SC)``) — the statically-scheduled rotation
+    for host-known offset grids. Python-side schedule state, so it is
+    honored only when the chunk loop statically unrolls (n_chunks <= 16);
+    the fori path falls back to the transcendental. Mutually exclusive
+    with z_step.
     """
     acc = jnp.float32
     if heads == "sigma":
@@ -108,11 +115,17 @@ def _mlp_plane_loop(
         pe_state0, pe_rot = ops.pe_rotation_consts(consts, P, z0, dz)
     else:
         pe_state0 = pe_rot = None
+    pe_provider = (
+        pe_provider_fn(consts) if pe_provider_fn is not None and n_chunks <= 16
+        else None
+    )
 
     def chunk(s0_static_or_dyn, SC, pe_state):
         zc = z_read(s0_static_or_dyn, SC)  # [SC, R]
         if pe_state is not None:
             pe_S, pe_state = ops.pe_rotate_chunk(pe_state, pe_rot, SC, dtype)
+        elif pe_provider is not None:
+            pe_S = pe_provider.next_chunk(SC)
         else:
             pe_S = None
         raw = ops.mlp_forward_affine(
@@ -171,10 +184,14 @@ def _kernel(
     scratch,
     chunk_rows=None,
     pe_rotation=None,
+    z_offsets=None,
 ):
     """z_source: "linspace" | "around_center" (static offsets input) |
     "input" (pre-transposed [S, N] z-values input) | "gaussian"
-    (in-kernel PRNG population around the per-ray depth, seed input)."""
+    (in-kernel PRNG population around the per-ray depth, seed input).
+
+    z_offsets: the around_center offsets as a STATIC tuple (same values as
+    the z_ref input) — enables the offset-scheduled rotation PE."""
     if z_source in ("around_center", "input", "input_unsorted"):
         rays_ref, z_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
         wrefs = refs[4:-1]
@@ -238,20 +255,33 @@ def _kernel(
 
     # The plain linspace grid has a compile-time-constant z step shared by
     # every ray: the PE can run as the rotation recurrence (one sin/cos per
-    # tile) instead of a transcendental per sample. lindisp z is not
-    # constant-step; the other sources are per-ray data. Auto (None) enables
-    # it only for bf16 kernels: the recurrence's fp32 phase drift (~2e-4 at
-    # S=64 on the 2^9 frequency) is 40x below bf16 matmul rounding but WOULD
-    # show against the 2e-4-class fp32 diagnostic tolerances.
+    # tile) instead of a transcendental per sample; the uniform populate's
+    # host-known offset grid takes the statically-scheduled variant
+    # (ops.PEOffsetRotation — <=3 distinct deltas + clip boundary emits).
+    # lindisp z is not constant-step; gaussian/input z are per-ray data.
+    # Auto (None) enables rotation only for bf16 kernels: the recurrence's
+    # fp32 phase drift (~2e-4 at S=64 on the 2^9 frequency) is 40x below
+    # bf16 matmul rounding but WOULD show against the 2e-4-class fp32
+    # diagnostic tolerances.
     if pe_rotation is None:
         pe_rotation = dtype == jnp.bfloat16
     z_step = None
+    pe_provider_fn = None
     if z_source == "linspace" and not lindisp and pe_rotation:
         z_step = (float(near), (far - near) / max(S - 1, 1))
+    elif z_source == "around_center" and pe_rotation and z_offsets is not None:
+        center_col = rays[:, 6][:, None]  # [R, 1]
+
+        def pe_provider_fn(consts):
+            return ops.PEOffsetRotation(
+                consts, P, center_col, z_offsets, float(near), float(far),
+                dtype,
+            )
 
     _mlp_plane_loop(
         cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w,
         (sigma_s, r_s, g_s, b_s), chunk_rows=chunk_rows, z_step=z_step,
+        pe_provider_fn=pe_provider_fn,
     )
 
     # --- compositing
@@ -275,17 +305,17 @@ def _kernel(
     static_argnames=(
         "cfg", "dtype", "n_samples", "near", "far", "white_bkgd", "tile",
         "interpret", "z_source", "lindisp", "std", "chunk_rows",
-        "pe_rotation",
+        "pe_rotation", "z_offsets",
     ),
 )
 def _call(rays, z_arg, F, P, packed_flat, cfg, dtype, n_samples, near, far,
           white_bkgd, tile, interpret, z_source="linspace", lindisp=False,
-          std=0.0, chunk_rows=None, pe_rotation=None):
+          std=0.0, chunk_rows=None, pe_rotation=None, z_offsets=None):
     def kern(*refs_and_scratch):
         refs, scratch = refs_and_scratch[:-5], refs_and_scratch[-5:]
         _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source,
                 lindisp, std, refs, scratch, chunk_rows=chunk_rows,
-                pe_rotation=pe_rotation)
+                pe_rotation=pe_rotation, z_offsets=z_offsets)
 
     in_arrays = [rays]
     in_specs = [pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -440,12 +470,16 @@ def fused_render_around_depth(
     dtype=jnp.bfloat16,
     tile: int | None = None,
     interpret: bool = False,
+    pe_rotation: bool | None = None,
 ) -> dict[str, jnp.ndarray]:
     """DepthNet populate-and-shade in one fused kernel (uniform mode).
 
     z values are the reference's uniform population around the predicted
     depth (sample_points_around_mean, clipped to the hardcoded [2, 6]);
     shading matches the composable DEPTH_NET eval path up to kernel dtype.
+    The offsets grid is host-known, so bf16 kernels take the statically-
+    scheduled rotation PE (ops.PEOffsetRotation); pe_rotation as in
+    fused_render.
 
     depth: [N, 1] or [N] DepthNet predictions.
     """
@@ -461,7 +495,8 @@ def fused_render_around_depth(
     out = _call(
         rays, offsets, F, P, packed_flat, cfg, dtype, offsets.shape[0],
         float(clip_near), float(clip_far), bool(white_bkgd), tile, interpret,
-        z_source="around_center",
+        z_source="around_center", pe_rotation=pe_rotation,
+        z_offsets=tuple(float(v) for v in offsets.reshape(-1)),
     )[:, :n]
     return _maps_from_rows(out)
 

@@ -131,6 +131,82 @@ def pe_rotate_chunk(state, rot, SC: int, dtype):
     return out, (E, G)
 
 
+class PEOffsetRotation:
+    """Statically-scheduled rotation PE for host-known per-ray z offsets.
+
+    The uniform depth population (reference sample_points_around_mean,
+    nerf_pytorch/utils.py:231-240) shades z_i = clip(center + off[i],
+    near, far) where ``off`` is a HOST-KNOWN sorted grid (linspace with 0
+    inserted): consecutive offsets differ by at most 3 distinct deltas
+    (the grid step and the two sub-steps around the inserted 0). So the
+    PE needs transcendental sin/cos only for the per-tile base and one
+    rotation-constant pair per DISTINCT delta (<=3); every sample then
+    advances by a statically-scheduled per-lane plane rotation, exactly
+    like pe_rotation_consts. Clipped samples emit the boundary sin/cos
+    (two extra per-tile evaluations) selected by a per-ray mask; the
+    rotation chain itself advances UNCLIPPED so later samples stay exact.
+
+    Python-side state (the schedule index) — usable only from statically
+    unrolled chunk loops.
+    """
+
+    def __init__(self, consts, P, center_col, offsets, near, far, dtype):
+        import numpy as _np
+
+        AF, BF = consts["pe"]
+        A0 = AF - P[None, :]
+        mask_cos = P[None, :] > 0.25
+
+        def emit_of(ang):
+            return jnp.where(mask_cos, jnp.cos(ang), jnp.sin(ang))
+
+        offs = _np.asarray(offsets, _np.float32).reshape(-1)
+        self._offs = offs
+        self._dtype = dtype
+        self._i = 0
+        # base at the UNCLIPPED z0 = center + off[0]
+        ang0 = A0 + (center_col + float(offs[0])) * BF
+        s0, c0 = jnp.sin(ang0), jnp.cos(ang0)
+        self._E = jnp.where(mask_cos, c0, s0)
+        self._G = jnp.where(mask_cos, -s0, c0)
+        # boundary emits for clipped samples (z pinned to near / far)
+        self._E_near = emit_of(A0 + near * BF)
+        self._E_far = emit_of(A0 + far * BF)
+        self._center = center_col  # [R, 1]
+        self._near, self._far = near, far
+        # one rotation-constant pair per distinct inter-sample delta
+        deltas = offs[1:] - offs[:-1]
+        self._rot = {
+            float(d): (jnp.cos(float(d) * BF), jnp.sin(float(d) * BF))
+            for d in _np.unique(deltas)
+            if d != 0.0
+        }
+
+    def next_chunk(self, SC: int):
+        """Emit the next SC samples' [SC*R, PAD] PE block."""
+        rows = []
+        for _ in range(SC):
+            off_i = float(self._offs[self._i])
+            zc = self._center + off_i  # [R, 1] unclipped
+            emit = jnp.where(
+                zc > self._far,
+                self._E_far,
+                jnp.where(zc < self._near, self._E_near, self._E),
+            )
+            rows.append(emit.astype(self._dtype))
+            if self._i + 1 < len(self._offs):
+                d = float(self._offs[self._i + 1] - self._offs[self._i])
+                if d != 0.0:
+                    cosd, sind = self._rot[d]
+                    self._E, self._G = (
+                        self._E * cosd + self._G * sind,
+                        self._G * cosd - self._E * sind,
+                    )
+            self._i += 1
+        R, PAD = rows[0].shape
+        return rows[0] if SC == 1 else jnp.stack(rows, 0).reshape(SC * R, PAD)
+
+
 def mlp_forward_affine(
     cfg: NeRFConfig,
     dtype,

@@ -200,6 +200,49 @@ class TestRotationPE:
         err = float(jnp.max(jnp.abs(a["rgb_map"] - b["rgb_map"])))
         assert err < 0.02, err
 
+    def test_offset_rotation_matches_sin(self, rng):
+        """The statically-scheduled offset rotation (uniform populate,
+        ops.PEOffsetRotation) must match the transcendental path including
+        CLIPPED samples (depths near both bounds at std=1.0 force the
+        boundary emits)."""
+        from nerf_sampling_tpu.kernels.fused_render import (
+            fused_render_around_depth,
+        )
+
+        cfg = NeRFConfig(
+            D=2, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(), use_viewdirs=True,
+        )
+        params = nerf_init_active(jax.random.PRNGKey(9), cfg)
+        ro, rd = make_rays(128, rng)
+        depth = jnp.asarray(
+            np.linspace(2.05, 5.95, 128, dtype=np.float32).reshape(128, 1)
+        )
+        for S in (2, 16):
+            a = fused_render_around_depth(
+                params, cfg, ro, rd, depth, n_samples=S, std=1.0,
+                interpret=True, pe_rotation=True,
+            )
+            b = fused_render_around_depth(
+                params, cfg, ro, rd, depth, n_samples=S, std=1.0,
+                interpret=True, pe_rotation=False,
+            )
+            err = float(jnp.max(jnp.abs(a["rgb_map"] - b["rgb_map"])))
+            assert err < 0.02, (S, err)
+        # the offset deltas are small (B*delta ~ exact rotation constants),
+        # so even forced-fp32 agreement is tight — this pins the boundary
+        # emit + schedule correctness well below the bf16 noise floor
+        e = fused_render_around_depth(
+            params, cfg, ro, rd, depth, n_samples=64, std=1.0,
+            dtype=jnp.float32, interpret=True, pe_rotation=True,
+        )
+        f = fused_render_around_depth(
+            params, cfg, ro, rd, depth, n_samples=64, std=1.0,
+            dtype=jnp.float32, interpret=True, pe_rotation=False,
+        )
+        err = float(jnp.max(jnp.abs(e["rgb_map"] - f["rgb_map"])))
+        assert err < 1e-3, err
+
     def test_fp32_auto_keeps_transcendental(self, rng):
         """fp32 diagnostic kernels must stay bit-identical to the
         transcendental path (auto gating)."""
