@@ -141,7 +141,24 @@ def main(**kw):
         if kw["train_mode"] == "depth_net"
         else f"{dataset_name or 'custom'}_nerf"
     )
-    cfg.sampling_mode = "depth_only"
+    # Reference run.py:148 forces depth_only for TRAIN-time rendering (the
+    # single DepthNet sample), which also makes the i_testset evals render
+    # one sample/ray — a very noisy quality signal (measured ~9 dB below
+    # the populate render of the same checkpoint). Keep the reference
+    # default, but let a model entry that EXPLICITLY sets sampling_mode
+    # (e.g. recommended_depth_net_module's gaussian keep_best protocol)
+    # keep its eval mode instead of being silently clobbered.
+    explicit_mode = False
+    try:
+        import yaml as _yaml
+
+        with open(kw["config"]) as f:
+            _kwargs = _yaml.safe_load(f)[kw["model"]].get("kwargs", {})
+        explicit_mode = "sampling_mode" in _kwargs
+    except Exception:
+        pass
+    if not explicit_mode:
+        cfg.sampling_mode = "depth_only"
 
     trainer = Trainer(cfg)
     psnr = trainer.train(N_iters=kw["n_iters"] + 1)

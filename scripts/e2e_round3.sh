@@ -24,9 +24,12 @@ for SCENE in example example_hard; do
     -m recommended_depth_net_module --n_iters 10000 --mlp_impl pallas \
     --ft_path "$NERF" --basedir logs -ip 1000 --testskip 1
 
-  DN=logs/${SCENE}_depth_net/best/depth_best.npz
-  [ -f "$DN" ] || DN=$(ls logs/${SCENE}_depth_net/best/depth_*.npz 2>/dev/null | sort | tail -1)
-  [ -n "$DN" ] || DN=$(ls logs/${SCENE}_depth_net/depth_*.npz | sort | tail -1)
+  DN=$(ls logs/${SCENE}_depth_net/best/depth_*.npz 2>/dev/null | sort | tail -1)
+  [ -n "$DN" ] || DN=$(ls logs/${SCENE}_depth_net/depth_*.npz 2>/dev/null | sort | tail -1)
+  if [ -z "$DN" ]; then
+    echo "FATAL: no depth-net checkpoint under logs/${SCENE}_depth_net" >&2
+    exit 1
+  fi
   echo "== [$SCENE] renders with $DN (testskip=1)"
   for CELL in "uniform 128" "uniform 64" "gaussian 128" "gaussian 64"; do
     set -- $CELL
