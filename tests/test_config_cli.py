@@ -225,3 +225,43 @@ class TestCliEndToEnd:
         assert renderdirs, res.output
         assert (renderdirs[0] / "psnr.txt").exists()
         assert "Final psnr" in res.output
+
+    def test_explicit_sampling_mode_survives_run_cli(self, tmp_path, monkeypatch):
+        """run.py applies the reference's depth_only train-render default
+        ONLY when the model entry does not set sampling_mode itself — an
+        explicit eval protocol (the recommended module's gaussian
+        keep_best) must not be silently clobbered (it made keep_best
+        select on a single-sample metric measured ~9 dB below the real
+        render quality)."""
+        from click.testing import CliRunner
+
+        from nerf_sampling_tpu.data.example import generate_example_dataset
+        from nerf_sampling_tpu.experiments import run as run_cli
+
+        datadir = generate_example_dataset(
+            str(tmp_path / "data"), H=16, W=16, n_train=2, n_val=1, n_test=1
+        )
+        base = self._tiny_yaml(tmp_path)
+        explicit = tmp_path / "explicit.yaml"
+        explicit.write_text(
+            open(base).read() + "    sampling_mode: gaussian\n"
+        )
+        seen = {}
+        from nerf_sampling_tpu.train.trainer import Trainer
+
+        def fake_train(self, N_iters=1):
+            seen["mode"] = self.cfg.sampling_mode
+            return 0.0
+
+        monkeypatch.setattr(Trainer, "train", fake_train)
+        runner = CliRunner()
+        for yaml_path, want in ((base, "depth_only"), (str(explicit), "gaussian")):
+            res = runner.invoke(
+                run_cli.main,
+                ["-c", yaml_path, "-m", "tiny_module", "-dp", datadir,
+                 "--mode", "depth_net", "--n_iters", "1",
+                 "--basedir", str(tmp_path / "logs2")],
+                catch_exceptions=False,
+            )
+            assert res.exit_code == 0, res.output
+            assert seen["mode"] == want, (yaml_path, seen["mode"])
