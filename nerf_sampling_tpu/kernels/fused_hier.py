@@ -43,6 +43,7 @@ from nerf_sampling_tpu.kernels.fused_nerf import (
     _flatten_packed,
     _pe_matrices,
     pack_nerf_params,
+    raw_base as _raw_base,
 )
 from nerf_sampling_tpu.kernels.fused_render import (
     _MAX_SAMPLES,
@@ -113,6 +114,7 @@ def _kernel(
     n_cw,
     refs,
     scratch,
+    raw_base=0,
 ):
     if stochastic:
         rays_ref, seed_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
@@ -171,6 +173,7 @@ def _kernel(
     _mlp_plane_loop(
         cfg_c, dtype, Sc, R, lambda s0, SC: zc_s[pl.ds(s0, SC)],
         o, d, viewdirs, F, P, w_c, (sigc_s,), heads="sigma", z_step=z_step,
+        raw_base=raw_base,
     )
     z_c = zc_s[:]
     dists_c = ops.sorted_dists(z_c, d_norm_row)
@@ -194,6 +197,7 @@ def _kernel(
     _mlp_plane_loop(
         cfg_f, dtype, Su, R, lambda s0, SC: zu_s[pl.ds(s0, SC)],
         o, d, viewdirs, F, P, w_f, (sigma_s, r_s, g_s, b_s),
+        raw_base=raw_base,
     )
     z_u = zu_s[:]
     rgbs = [r_s[:], g_s[:], b_s[:]]
@@ -218,15 +222,17 @@ def _kernel(
     static_argnames=(
         "cfg_c", "cfg_f", "dtype", "n_coarse", "n_importance", "near", "far",
         "white_bkgd", "lindisp", "stochastic", "tile", "interpret", "n_cw",
+        "raw_base",
     ),
 )
 def _call(rays, seed, F, P, packed_c, packed_f, cfg_c, cfg_f, dtype, n_coarse,
           n_importance, near, far, white_bkgd, lindisp, stochastic, tile,
-          interpret, n_cw):
+          interpret, n_cw, raw_base=0):
     def kern(*refs_and_scratch):
         refs, scratch = refs_and_scratch[:-7], refs_and_scratch[-7:]
         _kernel(cfg_c, cfg_f, dtype, n_coarse, n_importance, near, far,
-                white_bkgd, lindisp, stochastic, n_cw, refs, scratch)
+                white_bkgd, lindisp, stochastic, n_cw, refs, scratch,
+                raw_base=raw_base)
 
     in_arrays = [rays]
     in_specs = [
@@ -323,18 +329,21 @@ def fused_render_hier(
     F, P = _pe_matrices(multires, multires_views)
     packed_c = tuple(
         _flatten_packed(
-            pack_nerf_params(coarse_params, coarse_cfg, multires, multires_views, dtype)
+            pack_nerf_params(coarse_params, coarse_cfg, multires,
+                             multires_views, dtype, stuff_raw=True)
         )
     )
     packed_f = tuple(
         _flatten_packed(
-            pack_nerf_params(fine_params, fine_cfg, multires, multires_views, dtype)
+            pack_nerf_params(fine_params, fine_cfg, multires,
+                             multires_views, dtype, stuff_raw=True)
         )
     )
     out = _call(
         rays, seed_arr, F, P, packed_c, packed_f, coarse_cfg, fine_cfg, dtype,
         n_coarse, n_importance, float(near), float(far), bool(white_bkgd),
         bool(lindisp), seed is not None, tile, interpret, len(packed_c),
+        raw_base=_raw_base(multires, multires_views),
     )[:, :n]
     return {
         "rgb_map": out[0:3].T,

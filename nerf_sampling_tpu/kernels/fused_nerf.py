@@ -49,9 +49,17 @@ def _pe_matrices(multires: int, multires_views: int):
     """(F [XDIM, PAD], P [PAD]) building S = sin(X @ F + P).
 
     S column layout (matches the reference's per-frequency sin/cos blocks,
-    run_nerf_helpers.py:36-39, minus the raw-input passthrough):
+    run_nerf_helpers.py:36-39):
       cols [0, 6*M):            pts  freq f: sin(x*2^f) dims 0..2, then cos
       cols [6*M, 6*M + 6*Mv):   dirs likewise
+      cols [RAW, RAW+6):        identity passthrough rows (RAW = 6*(M+Mv)):
+                                the affine ray kernels carry the RAW inputs
+                                (pts, viewdirs) in these otherwise-dead
+                                lanes so the reference's identity rows ride
+                                the S matmul's zero-padded weight rows for
+                                free (see pack_nerf_params stuff_raw). The
+                                point kernels' weights keep zero rows there,
+                                so sin(x) landing in those lanes is inert.
       remaining cols:           zero (F=0, P=0 -> sin(0)=0)
 
     Returned as HOST numpy arrays on purpose: when this runs inside an
@@ -70,25 +78,44 @@ def _pe_matrices(multires: int, multires_views: int):
                     F[base + dim, col] = 2.0**f
                     P[col] = phase
                     col += 1
+    for dim in range(6):  # raw passthrough lanes: X_o@F -> [o | vd], X_d@F -> [d | 0]
+        F[dim, col + dim] = 1.0
     return F, P
 
 
-def _split_emb_rows(w_emb, multires, multires_views, dtype):
+def raw_base(multires: int, multires_views: int) -> int:
+    """First raw-passthrough lane in the S layout (see _pe_matrices)."""
+    return 6 * (multires + multires_views)
+
+
+def _split_emb_rows(w_emb, multires, multires_views, dtype, raw_lane_base=None):
     """[Cp+Cv, out] emb-consuming weight -> (Wx [XDIM, out], Ws [PAD, out]).
 
     Row permutation: reference emb rows are [pts raw(3), pts sin/cos(6M),
     dirs raw(3), dirs sin/cos(6Mv)]; the kernel's X carries the raw rows and
     S the sin/cos rows in the same inner order.
+
+    raw_lane_base (the S layout's passthrough base, raw_base()) makes the
+    split additionally write the raw rows into Ws at those lanes: the
+    affine ray kernels then consume ONE matmul per layer — no per-chunk X
+    build or separate raw-contribution FMA — because S itself carries
+    [pts | viewdirs] there. Point kernels (which put sin(x) in those
+    lanes) must pass None.
     """
     out = w_emb.shape[1]
     sp, sv = 6 * multires, 6 * multires_views
+    rb, stuff_raw = raw_lane_base, raw_lane_base is not None
     wx = jnp.zeros((XDIM, out), dtype)
     wx = wx.at[0:3].set(w_emb[0:3].astype(dtype))
     ws = jnp.zeros((PAD, out), dtype)
     ws = ws.at[0:sp].set(w_emb[3 : 3 + sp].astype(dtype))
+    if stuff_raw:
+        ws = ws.at[rb : rb + 3].set(w_emb[0:3].astype(dtype))
     if w_emb.shape[0] > 3 + sp:  # has dirs rows
         wx = wx.at[3:6].set(w_emb[3 + sp : 6 + sp].astype(dtype))
         ws = ws.at[sp : sp + sv].set(w_emb[6 + sp :].astype(dtype))
+        if stuff_raw:
+            ws = ws.at[rb + 3 : rb + 6].set(w_emb[3 + sp : 6 + sp].astype(dtype))
     return wx, ws
 
 
@@ -98,21 +125,29 @@ def pack_nerf_params(
     multires: int = 10,
     multires_views: int = 4,
     dtype=jnp.bfloat16,
+    stuff_raw: bool = False,
 ) -> dict:
-    """Repack a NeRF param pytree for the fused kernel (see module doc)."""
+    """Repack a NeRF param pytree for the fused kernel (see module doc).
+
+    stuff_raw=True writes the raw identity rows into the Ws matrices'
+    passthrough lanes (affine ray kernels: fused_render / fused_hier) —
+    the Wx halves are then inert. Point kernels keep False.
+    """
     if not cfg.use_viewdirs:
         raise ValueError("fused kernel requires use_viewdirs=True")
     Cp, Cv, W = cfg.input_ch, cfg.input_ch_views, cfg.W
     if Cp != 3 + 6 * multires or Cv != 3 + 6 * multires_views:
         raise ValueError("input_ch inconsistent with multires settings")
-    if 6 * multires + 6 * multires_views > PAD:
-        raise ValueError("sin-feature width exceeds PAD")
+    rb = raw_base(multires, multires_views)
+    if rb + 6 > PAD:
+        raise ValueError("sin-feature width (+raw lanes) exceeds PAD")
+    rb_or_none = rb if stuff_raw else None
 
     def cast(x):
         return x.astype(dtype)
 
     def split_pts_only(w):  # weight consuming only the pts embedding [Cp, out]
-        return _split_emb_rows(w, multires, 0, dtype)
+        return _split_emb_rows(w, multires, 0, dtype, raw_lane_base=rb_or_none)
 
     packed: dict = {"trunk_w": [], "trunk_b": [], "skip_wx": {}, "skip_ws": {}}
     for i, layer in enumerate(params["pts_linears"]):
@@ -139,7 +174,7 @@ def pack_nerf_params(
         [jnp.zeros((Cp, vw.shape[1]), vw.dtype), vw[W:]], axis=0
     )
     packed["views_wx"], packed["views_ws"] = _split_emb_rows(
-        vw_emb, multires, multires_views, dtype
+        vw_emb, multires, multires_views, dtype, raw_lane_base=rb_or_none
     )
     packed["views_wf"] = cast(vw[:W])
     packed["views_b"] = params["views_linears"][0]["bias"].astype(jnp.float32)

@@ -42,6 +42,7 @@ from nerf_sampling_tpu.kernels.fused_nerf import (
     _flatten_packed,
     _pe_matrices,
     pack_nerf_params,
+    raw_base as _raw_base,
 )
 from nerf_sampling_tpu.models.nerf import NeRFConfig
 
@@ -72,7 +73,7 @@ TPU_VMEM_LIMIT = 100 * 1024 * 1024
 
 def _mlp_plane_loop(
     cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w, scratch, heads="full",
-    chunk_rows=None, z_step=None, pe_provider_fn=None,
+    chunk_rows=None, z_step=None, pe_provider_fn=None, raw_base=0,
 ):
     """Stream the MLP over sample chunks, filling [S, R] scratch planes.
 
@@ -105,14 +106,16 @@ def _mlp_plane_loop(
         SC //= 2
     n_chunks = S // SC
 
-    # pts = o + z*d makes every emb matmul affine in z: precompute the
-    # per-ray (A, B) pairs once per tile (ops.ray_affine_consts) so the
-    # chunk loop below is broadcast-FMA + trunk matmuls only — no per-chunk
-    # [*, 8] input build, PE matmul, or small-K emb passes.
-    consts = ops.ray_affine_consts(cfg, dtype, o, d, viewdirs, F, P, w, heads)
+    # pts = o + z*d makes the whole S input (PE phases + raw passthrough
+    # lanes) ONE affine function of z: precompute the per-ray (A, B) pair
+    # once per tile (ops.ray_affine_consts) so the chunk loop below is a
+    # single full-width FMA + masked sin + trunk matmuls — no per-chunk
+    # [*, 8] input build, PE matmul, small-K emb passes, or per-consumer
+    # raw-contribution FMAs (raw rows ride the stuffed Ws weights).
+    consts = ops.ray_affine_consts(o, d, viewdirs, F, P)
     if z_step is not None:
         z0, dz = z_step
-        pe_state0, pe_rot = ops.pe_rotation_consts(consts, P, z0, dz)
+        pe_state0, pe_rot = ops.pe_rotation_consts(consts, P, z0, dz, raw_base)
     else:
         pe_state0 = pe_rot = None
     pe_provider = (
@@ -129,7 +132,8 @@ def _mlp_plane_loop(
         else:
             pe_S = None
         raw = ops.mlp_forward_affine(
-            cfg, dtype, zc, consts, w, heads=heads, pe_S=pe_S
+            cfg, dtype, zc, consts, w, heads=heads, pe_S=pe_S,
+            raw_base=raw_base,
         )  # [SC*R, 4]
         sl = pl.ds(s0_static_or_dyn, SC)
         sigma_s[sl] = raw[:, 3].reshape(SC, R)
@@ -185,6 +189,7 @@ def _kernel(
     chunk_rows=None,
     pe_rotation=None,
     z_offsets=None,
+    raw_base=0,
 ):
     """z_source: "linspace" | "around_center" (static offsets input) |
     "input" (pre-transposed [S, N] z-values input) | "gaussian"
@@ -275,13 +280,13 @@ def _kernel(
         def pe_provider_fn(consts):
             return ops.PEOffsetRotation(
                 consts, P, center_col, z_offsets, float(near), float(far),
-                dtype,
+                dtype, raw_base,
             )
 
     _mlp_plane_loop(
         cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w,
         (sigma_s, r_s, g_s, b_s), chunk_rows=chunk_rows, z_step=z_step,
-        pe_provider_fn=pe_provider_fn,
+        pe_provider_fn=pe_provider_fn, raw_base=raw_base,
     )
 
     # --- compositing
@@ -305,17 +310,19 @@ def _kernel(
     static_argnames=(
         "cfg", "dtype", "n_samples", "near", "far", "white_bkgd", "tile",
         "interpret", "z_source", "lindisp", "std", "chunk_rows",
-        "pe_rotation", "z_offsets",
+        "pe_rotation", "z_offsets", "raw_base",
     ),
 )
 def _call(rays, z_arg, F, P, packed_flat, cfg, dtype, n_samples, near, far,
           white_bkgd, tile, interpret, z_source="linspace", lindisp=False,
-          std=0.0, chunk_rows=None, pe_rotation=None, z_offsets=None):
+          std=0.0, chunk_rows=None, pe_rotation=None, z_offsets=None,
+          raw_base=0):
     def kern(*refs_and_scratch):
         refs, scratch = refs_and_scratch[:-5], refs_and_scratch[-5:]
         _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source,
                 lindisp, std, refs, scratch, chunk_rows=chunk_rows,
-                pe_rotation=pe_rotation, z_offsets=z_offsets)
+                pe_rotation=pe_rotation, z_offsets=z_offsets,
+                raw_base=raw_base)
 
     in_arrays = [rays]
     in_specs = [pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -429,12 +436,14 @@ def fused_render(
     rays, n = _pack_rays(rays_o, rays_d, tile)
     F, P = _pe_matrices(multires, multires_views)
     packed_flat = tuple(
-        _flatten_packed(pack_nerf_params(params, cfg, multires, multires_views, dtype))
+        _flatten_packed(pack_nerf_params(
+            params, cfg, multires, multires_views, dtype, stuff_raw=True))
     )
     out = _call(
         rays, None, F, P, packed_flat, cfg, dtype, n_samples, float(near),
         float(far), bool(white_bkgd), tile, interpret, lindisp=bool(lindisp),
         chunk_rows=chunk_rows, pe_rotation=pe_rotation,
+        raw_base=_raw_base(multires, multires_views),
     )[:, :n]
     return _maps_from_rows(out)
 
@@ -490,13 +499,15 @@ def fused_render_around_depth(
     offsets = uniform_population_offsets(n_samples, std)  # host constant
     F, P = _pe_matrices(multires, multires_views)
     packed_flat = tuple(
-        _flatten_packed(pack_nerf_params(params, cfg, multires, multires_views, dtype))
+        _flatten_packed(pack_nerf_params(
+            params, cfg, multires, multires_views, dtype, stuff_raw=True))
     )
     out = _call(
         rays, offsets, F, P, packed_flat, cfg, dtype, offsets.shape[0],
         float(clip_near), float(clip_far), bool(white_bkgd), tile, interpret,
         z_source="around_center", pe_rotation=pe_rotation,
         z_offsets=tuple(float(v) for v in offsets.reshape(-1)),
+        raw_base=_raw_base(multires, multires_views),
     )[:, :n]
     return _maps_from_rows(out)
 
@@ -543,12 +554,14 @@ def fused_render_gaussian(
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     F, P = _pe_matrices(multires, multires_views)
     packed_flat = tuple(
-        _flatten_packed(pack_nerf_params(params, cfg, multires, multires_views, dtype))
+        _flatten_packed(pack_nerf_params(
+            params, cfg, multires, multires_views, dtype, stuff_raw=True))
     )
     out = _call(
         rays, seed_arr, F, P, packed_flat, cfg, dtype, n_samples,
         2.0, 6.0, bool(white_bkgd), tile, interpret,
         z_source="gaussian", std=float(std),
+        raw_base=_raw_base(multires, multires_views),
     )[:, :n]
     return _maps_from_rows(out)
 
@@ -591,11 +604,13 @@ def fused_shade(
 
     F, P = _pe_matrices(multires, multires_views)
     packed_flat = tuple(
-        _flatten_packed(pack_nerf_params(params, cfg, multires, multires_views, dtype))
+        _flatten_packed(pack_nerf_params(
+            params, cfg, multires, multires_views, dtype, stuff_raw=True))
     )
     out = _call(
         rays, z_t, F, P, packed_flat, cfg, dtype, S, 2.0, 6.0,
         bool(white_bkgd), tile, interpret,
         z_source="input" if assume_sorted else "input_unsorted",
+        raw_base=_raw_base(multires, multires_views),
     )[:, :n]
     return _maps_from_rows(out)

@@ -22,21 +22,21 @@ from nerf_sampling_tpu.models.nerf import NeRFConfig
 _ACC = jnp.float32
 
 
-def ray_affine_consts(
-    cfg: NeRFConfig, dtype, o, d, viewdirs, F, P, w, heads: str = "full"
-) -> dict:
-    """Per-ray-tile affine decomposition of every embedding consumer.
+def ray_affine_consts(o, d, viewdirs, F, P):
+    """Per-ray-tile affine decomposition of the S-matrix argument.
 
-    Sample points are affine in z (pts = o + z*d), so every matmul that
-    consumes the raw input X = [pts | viewdirs | 0] splits into per-ray
-    constants:  X @ M = (X_o @ M) + z * (X_d @ M)  with X_o = [o|viewdirs|0]
-    and X_d = [d|0|0]. Computing the (A, B) pairs ONCE per tile removes the
-    per-chunk [*, 8] input build (a lane relayout) and all small-K emb
-    matmul passes from the hot loop — the chunk loop is left with pure
-    broadcast-FMA VPU work plus one [*, PAD] @ [PAD, out] pass per consumer.
+    Sample points are affine in z (pts = o + z*d), so the whole S input —
+    PE phases on lanes [0, RAW) AND the raw [pts | viewdirs] passthrough
+    lanes [RAW, RAW+6) carried by the extended F (fused_nerf._pe_matrices)
+    — is one affine function of z:  arg = A + z*B  with
+    A = [o|viewdirs|0] @ F + P and B = [d|0|0] @ F. With the raw rows
+    stuffed into the Ws weights (pack_nerf_params stuff_raw=True), S is
+    the ONLY matmul input per consumer: the hot loop has no per-chunk
+    [*, 8] input build, no small-K emb passes, and no per-consumer
+    raw-contribution FMA.
 
-    o/d/viewdirs: [R, 3] fp32. Returns {"pe": (AF+P, BF) [R, PAD] fp32,
-    "w0"/"skip{i}"/"views": (A, B) [R, out] fp32}.
+    o/d/viewdirs: [R, 3] fp32. Returns (A, B) [R, PAD] fp32 (the phase
+    needs full mantissa).
     """
     acc = _ACC
     R = o.shape[0]
@@ -45,47 +45,39 @@ def ray_affine_consts(
     X_d = jnp.concatenate(
         [d, jnp.zeros((R, F.shape[0] - 3), acc)], axis=1
     )
-    Xo_c, Xd_c = X_o.astype(dtype), X_d.astype(dtype)
-
-    def pair(wx_ref):
-        wx = wx_ref[:]
-        return (
-            jnp.dot(Xo_c, wx, preferred_element_type=acc),
-            jnp.dot(Xd_c, wx, preferred_element_type=acc),
-        )
-
-    consts = {
-        # fp32 PE argument (the sin phase needs full mantissa)
-        "pe": (jnp.dot(X_o, F, preferred_element_type=acc) + P,
-               jnp.dot(X_d, F, preferred_element_type=acc)),
-        "w0": pair(w["w0x"]),
-    }
-    for i, (wx_ref, _) in w["skip"].items():
-        consts[f"skip{i}"] = pair(wx_ref)
-    if heads != "sigma":
-        consts["views"] = pair(w["views_wx"])
-    return consts
+    return (
+        jnp.dot(X_o, F, preferred_element_type=acc) + P,
+        jnp.dot(X_d, F, preferred_element_type=acc),
+    )
 
 
-def pe_sin_chunk(consts: dict, zc: jnp.ndarray, dtype) -> jnp.ndarray:
-    """The fp32 PE sin for one z chunk: sin(AF + z*BF) -> [SC*R, PAD] bf16.
+def raw_lane_mask(width: int, raw_base: int) -> jnp.ndarray:
+    """[1, width] bool: the S layout's raw passthrough lanes."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    return (lane >= raw_base) & (lane < raw_base + 6)
 
-    Pure VPU work (~20% of kernel time measured); Mosaic overlaps it with
-    the trunk matmuls on its own (an explicit software-pipelined variant
-    measured perf-neutral).
+
+def pe_sin_chunk(consts, zc: jnp.ndarray, dtype, raw_base: int) -> jnp.ndarray:
+    """The S matrix for one z chunk -> [SC*R, PAD] bf16.
+
+    arg = A + z*B (one full-width fp32 FMA); sin lanes emit sin(arg), raw
+    passthrough lanes emit arg itself (the pts/viewdirs values). Pure VPU
+    work; Mosaic overlaps it with the trunk matmuls on its own (an
+    explicit software-pipelined variant measured perf-neutral).
     """
-    AF, BF = consts["pe"]
+    A, B = consts
     SC, R = zc.shape
     z3 = zc[:, :, None]
-    return jnp.sin(
-        (AF[None] + z3 * BF[None]).reshape(SC * R, AF.shape[1])
+    arg = (A[None] + z3 * B[None]).reshape(SC * R, A.shape[1])
+    return jnp.where(
+        raw_lane_mask(A.shape[1], raw_base), arg, jnp.sin(arg)
     ).astype(dtype)
 
 
-def pe_rotation_consts(consts: dict, P, z0: float, dz: float):
-    """Rotation-recurrence PE state for constant-step z (z_s = z0 + s*dz).
+def pe_rotation_consts(consts, P, z0: float, dz: float, raw_base: int):
+    """Rotation-recurrence S state for constant-step z (z_s = z0 + s*dz).
 
-    The PE matrix needs sin(theta) on sin lanes and cos(theta) on cos lanes
+    The S matrix needs sin(theta) on sin lanes and cos(theta) on cos lanes
     (the P phase is +pi/2 there), with theta_col = A_col + z * B_col affine
     in z. When the z step is a compile-time CONSTANT (the linspace eval
     grid), sin/cos need evaluating transcendentally only ONCE per ray tile:
@@ -93,39 +85,47 @@ def pe_rotation_consts(consts: dict, P, z0: float, dz: float):
 
         (s, c) -> (s*cosd + c*sind, c*cosd - s*sind),   d = B*dz
 
-    i.e. 4 FMAs/element instead of a VPU transcendental (the measured ~20%
-    sin cost of the fused kernel). The lane select (sin lanes emit s, cos
-    lanes emit c) is folded into the STATE: E = where(cos_lane, c, s) is
-    the emitted vector and G = where(cos_lane, -s, c) its quadrature
-    partner, and (E, G) obeys the SAME rotation — so the hot loop is pure
-    FMA + the bf16 emit cast, no per-sample select. fp32 drift is ~eps per
-    step — orders below the kernel's bf16 rounding.
+    i.e. FMAs instead of a VPU transcendental (the measured ~20% sin cost
+    of the fused kernel). The lane select (sin lanes emit s, cos lanes
+    emit c) is folded into the STATE: E = where(cos_lane, c, s) is the
+    emitted vector and G = where(cos_lane, -s, c) its quadrature partner,
+    and (E, G) obeys the SAME rotation. The raw passthrough lanes are
+    LINEAR in z instead of rotational: there cd=1, sd=0 freezes the
+    rotation and a masked per-step delta (= B*dz on raw lanes, 0
+    elsewhere) advances the value — folding into the same FMA chain:
+    E' = E*cd + (G*sd + delta). The hot loop is pure FMA + the bf16 emit
+    cast, no per-sample select. fp32 drift is ~eps per step — orders
+    below the kernel's bf16 rounding.
 
-    Returns (E0, G0) state at z0 and (cosd, sind) rotation constants.
+    Returns (E0, G0) state at z0 and (cosd, sind, delta) step constants.
     """
-    AF, BF = consts["pe"]
-    A0 = AF - P[None, :]  # strip the baked-in cos phase; folded into E/G
-    ang0 = A0 + z0 * BF
-    d = BF * dz
+    A, B = consts
+    raw = raw_lane_mask(A.shape[1], raw_base)
+    A0 = A - P[None, :]  # strip the baked-in cos phase; folded into E/G
+    ang0 = A0 + z0 * B
+    d = B * dz
     mask_cos = P[None, :] > 0.25
     s0, c0 = jnp.sin(ang0), jnp.cos(ang0)
-    E0 = jnp.where(mask_cos, c0, s0)
-    G0 = jnp.where(mask_cos, -s0, c0)
-    return (E0, G0), (jnp.cos(d), jnp.sin(d))
+    E0 = jnp.where(raw, ang0, jnp.where(mask_cos, c0, s0))
+    G0 = jnp.where(raw, 0.0, jnp.where(mask_cos, -s0, c0))
+    cd = jnp.where(raw, 1.0, jnp.cos(d))
+    sd = jnp.where(raw, 0.0, jnp.sin(d))
+    delta = jnp.where(raw, d, 0.0)
+    return (E0, G0), (cd, sd, delta)
 
 
 def pe_rotate_chunk(state, rot, SC: int, dtype):
-    """Emit one chunk's [SC*R, PAD] PE block; advance the rotation state.
+    """Emit one chunk's [SC*R, PAD] S block; advance the rotation state.
 
     state: (E, G) [R, PAD] fp32 at the chunk's first sample;
-    rot: (cosd, sind) from pe_rotation_consts.
+    rot: (cosd, sind, delta) from pe_rotation_consts.
     """
     E, G = state
-    cosd, sind = rot
+    cosd, sind, delta = rot
     rows = []
     for _ in range(SC):
         rows.append(E.astype(dtype))
-        E, G = E * cosd + G * sind, G * cosd - E * sind
+        E, G = E * cosd + (G * sind + delta), G * cosd - E * sind
     R, PAD = rows[0].shape
     out = rows[0] if SC == 1 else jnp.stack(rows, 0).reshape(SC * R, PAD)
     return out, (E, G)
@@ -146,44 +146,57 @@ class PEOffsetRotation:
     (two extra per-tile evaluations) selected by a per-ray mask; the
     rotation chain itself advances UNCLIPPED so later samples stay exact.
 
+    Raw passthrough lanes ride along linearly (cd=1, sd=0 + masked delta,
+    exactly as in pe_rotation_consts), and the boundary emits carry the
+    clipped pts values on those lanes.
+
     Python-side state (the schedule index) — usable only from statically
     unrolled chunk loops.
     """
 
-    def __init__(self, consts, P, center_col, offsets, near, far, dtype):
+    def __init__(self, consts, P, center_col, offsets, near, far, dtype,
+                 raw_base):
         import numpy as _np
 
-        AF, BF = consts["pe"]
-        A0 = AF - P[None, :]
+        A, B = consts
+        raw = raw_lane_mask(A.shape[1], raw_base)
+        A0 = A - P[None, :]
         mask_cos = P[None, :] > 0.25
 
-        def emit_of(ang):
-            return jnp.where(mask_cos, jnp.cos(ang), jnp.sin(ang))
+        def emit_of(z):
+            ang = A0 + z * B
+            return jnp.where(
+                raw, ang, jnp.where(mask_cos, jnp.cos(ang), jnp.sin(ang))
+            )
 
         offs = _np.asarray(offsets, _np.float32).reshape(-1)
         self._offs = offs
         self._dtype = dtype
         self._i = 0
         # base at the UNCLIPPED z0 = center + off[0]
-        ang0 = A0 + (center_col + float(offs[0])) * BF
+        ang0 = A0 + (center_col + float(offs[0])) * B
         s0, c0 = jnp.sin(ang0), jnp.cos(ang0)
-        self._E = jnp.where(mask_cos, c0, s0)
-        self._G = jnp.where(mask_cos, -s0, c0)
+        self._E = jnp.where(raw, ang0, jnp.where(mask_cos, c0, s0))
+        self._G = jnp.where(raw, 0.0, jnp.where(mask_cos, -s0, c0))
         # boundary emits for clipped samples (z pinned to near / far)
-        self._E_near = emit_of(A0 + near * BF)
-        self._E_far = emit_of(A0 + far * BF)
+        self._E_near = emit_of(near)
+        self._E_far = emit_of(far)
         self._center = center_col  # [R, 1]
         self._near, self._far = near, far
-        # one rotation-constant pair per distinct inter-sample delta
+        # one step-constant triple per distinct inter-sample delta
         deltas = offs[1:] - offs[:-1]
         self._rot = {
-            float(d): (jnp.cos(float(d) * BF), jnp.sin(float(d) * BF))
+            float(d): (
+                jnp.where(raw, 1.0, jnp.cos(float(d) * B)),
+                jnp.where(raw, 0.0, jnp.sin(float(d) * B)),
+                jnp.where(raw, float(d) * B, 0.0),
+            )
             for d in _np.unique(deltas)
             if d != 0.0
         }
 
     def next_chunk(self, SC: int):
-        """Emit the next SC samples' [SC*R, PAD] PE block."""
+        """Emit the next SC samples' [SC*R, PAD] S block."""
         rows = []
         for _ in range(SC):
             off_i = float(self._offs[self._i])
@@ -197,9 +210,9 @@ class PEOffsetRotation:
             if self._i + 1 < len(self._offs):
                 d = float(self._offs[self._i + 1] - self._offs[self._i])
                 if d != 0.0:
-                    cosd, sind = self._rot[d]
+                    cosd, sind, delta = self._rot[d]
                     self._E, self._G = (
-                        self._E * cosd + self._G * sind,
+                        self._E * cosd + (self._G * sind + delta),
                         self._G * cosd - self._E * sind,
                     )
             self._i += 1
@@ -211,42 +224,38 @@ def mlp_forward_affine(
     cfg: NeRFConfig,
     dtype,
     zc: jnp.ndarray,
-    consts: dict,
+    consts,
     w: dict,
     heads: str = "full",
     pe_S: jnp.ndarray | None = None,
+    raw_base: int = 0,
 ) -> jnp.ndarray:
-    """PE + NeRF MLP over a z chunk via the affine-in-z decomposition.
+    """S matrix + NeRF MLP over a z chunk via the affine-in-z decomposition.
 
-    zc: [SC, R] fp32 sample depths; rows of the result are s-major
-    (row = s*R + r). Matches mlp_forward(X built from o + z*d) up to
-    fp32-vs-bf16 rounding of the raw-input contributions (the affine path
-    keeps them fp32 — slightly MORE precise). The z broadcast runs in
-    [SC, R, C] 3D form: Mosaic rejects the [SC, R] -> [SC*R, 1] shape cast,
-    but merging leading dims of [SC, R, C] is a supported (free) reshape.
+    Requires raw-stuffed weights (pack_nerf_params stuff_raw=True): S
+    carries the raw [pts | viewdirs] values in its passthrough lanes, so
+    each emb consumer is ONE [*, PAD] @ [PAD, out] matmul — no separate
+    raw-contribution FMA. zc: [SC, R] fp32 sample depths; rows of the
+    result are s-major (row = s*R + r). Matches mlp_forward(X built from
+    o + z*d) up to dtype rounding. The z broadcast runs in [SC, R, C] 3D
+    form: Mosaic rejects the [SC, R] -> [SC*R, 1] shape cast, but merging
+    leading dims of [SC, R, C] is a supported (free) reshape.
 
-    pe_S: optionally a precomputed [SC*R, PAD] PE block (the rotation
-    recurrence path for constant-step z) — skips pe_sin_chunk.
+    pe_S: optionally a precomputed [SC*R, PAD] S block (the rotation
+    recurrence paths) — skips pe_sin_chunk.
     """
     acc = _ACC
-    SC, R = zc.shape
-    z3 = zc[:, :, None]  # [SC, R, 1]
 
-    def emb(key):
-        A, B = consts[key]
-        return (A[None] + z3 * B[None]).reshape(SC * R, A.shape[1])
-
-    S = pe_S if pe_S is not None else pe_sin_chunk(consts, zc, dtype)
+    S = pe_S if pe_S is not None else pe_sin_chunk(consts, zc, dtype, raw_base)
 
     h = None
     for i in range(cfg.D):
         if i == 0:
-            z = jnp.dot(S, w["w0s"][:], preferred_element_type=acc) + emb("w0")
+            z = jnp.dot(S, w["w0s"][:], preferred_element_type=acc)
         elif i in w["skip"]:
             z = (
                 jnp.dot(h, w["trunk_w"][i][:], preferred_element_type=acc)
                 + jnp.dot(S, w["skip"][i][1][:], preferred_element_type=acc)
-                + emb(f"skip{i}")
             )
         else:
             z = jnp.dot(h, w["trunk_w"][i][:], preferred_element_type=acc)
@@ -263,7 +272,6 @@ def mlp_forward_affine(
     hv = jax.nn.relu(
         jnp.dot(feature, w["views_wf"][:], preferred_element_type=acc)
         + jnp.dot(S, w["views_ws"][:], preferred_element_type=acc)
-        + emb("views")
         + w["views_b"][:]
     ).astype(dtype)
     return (

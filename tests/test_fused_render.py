@@ -164,23 +164,27 @@ class TestRotationPE:
         XDIM = F.shape[0]
         X_o = np.concatenate([o, vd, np.zeros((R, XDIM - 6), np.float32)], 1)
         X_d = np.concatenate([d, np.zeros((R, XDIM - 3), np.float32)], 1)
-        return {"pe": (jnp.asarray(X_o @ F + P), jnp.asarray(X_d @ F))}, jnp.asarray(P)
+        return (jnp.asarray(X_o @ F + P), jnp.asarray(X_d @ F)), jnp.asarray(P)
 
     def test_recurrence_drift_bounded(self, rng):
         """fp32 drift over S=64 steps stays in the 1e-3 class even on the
         2^9 frequency lanes (the phase error of the fp32 rotation constant
         accumulates linearly) — 8x below bf16 resolution, which is why the
-        production kernels enable the recurrence for bf16 only."""
+        production kernels enable the recurrence for bf16 only. Raw
+        passthrough lanes must carry the exact affine values."""
         from nerf_sampling_tpu.kernels import ops
+        from nerf_sampling_tpu.kernels.fused_nerf import raw_base
 
         consts, P = self._consts(rng, 64)
-        AF, BF = consts["pe"]
+        AF, BF = consts
+        rb = raw_base(10, 4)
         S, near, far = 64, 2.0, 6.0
         dz = (far - near) / (S - 1)
-        state, rot = ops.pe_rotation_consts(consts, P, near, dz)
+        state, rot = ops.pe_rotation_consts(consts, P, near, dz, rb)
         got, _ = ops.pe_rotate_chunk(state, rot, S, jnp.float32)  # [S*R, PAD]
         z = near + dz * np.arange(S, dtype=np.float32)
-        want = jnp.sin(AF[None] + z[:, None, None] * BF[None]).reshape(got.shape)
+        arg = (AF[None] + z[:, None, None] * BF[None]).reshape(got.shape)
+        want = jnp.where(ops.raw_lane_mask(arg.shape[1], rb), arg, jnp.sin(arg))
         err = float(jnp.max(jnp.abs(got - want)))
         assert err < 2e-3, err
 
