@@ -5,7 +5,10 @@ vanilla NeRF step (custom-VJP kernels) at the reference operating point
 (N_rand=1024, 64+128 samples). Run with the chip otherwise idle.
 """
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp
