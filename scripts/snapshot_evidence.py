@@ -1,0 +1,77 @@
+"""Snapshot the text evidence under logs/ into the committed evidence/ tree.
+
+logs/ is gitignored (checkpoints + renders are too heavy to commit), so
+the quality artifacts RESULTS.md cites are lost whenever the workspace
+is refreshed. This copies just the small TEXT artifacts — psnr.txt,
+experiments_results.txt sweep grids, A/B jsons, config/args provenance —
+preserving relative paths, and distills each metrics.jsonl into its eval
+trajectory (step, test_psnr) so the training curves survive too.
+
+Usage: python scripts/snapshot_evidence.py   (then git add evidence/)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOGS = os.path.join(REPO, "logs")
+OUT = os.path.join(REPO, "evidence")
+
+COPY_NAMES = {"psnr.txt", "experiments_results.txt", "config.txt", "args.txt"}
+COPY_SUFFIXES = ("_ab.json",)
+
+
+def main() -> None:
+    copied, distilled = [], []
+    for dirpath, _dirnames, filenames in os.walk(LOGS):
+        rel = os.path.relpath(dirpath, LOGS)
+        for name in sorted(filenames):
+            src = os.path.join(dirpath, name)
+            relpath = os.path.normpath(os.path.join(rel, name))
+            if name in COPY_NAMES or name.endswith(COPY_SUFFIXES):
+                dst = os.path.join(OUT, relpath)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(src, dst)
+                copied.append(relpath)
+            elif name == "metrics.jsonl":
+                rows = []
+                with open(src) as f:
+                    for line in f:
+                        try:
+                            r = json.loads(line)
+                        except json.JSONDecodeError:
+                            continue
+                        if "test_psnr" in r:
+                            rows.append(
+                                {"step": r.get("step"), "test_psnr": round(r["test_psnr"], 3)}
+                            )
+                dst = os.path.join(OUT, os.path.normpath(os.path.join(rel, "eval_trajectory.json")))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                with open(dst, "w") as f:
+                    json.dump(rows, f, indent=1)
+                distilled.append(os.path.relpath(dst, OUT))
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+    with open(os.path.join(OUT, "MANIFEST.md"), "w") as f:
+        f.write(
+            "# Evidence snapshot\n\n"
+            "Text artifacts copied verbatim from the gitignored logs/ tree by\n"
+            "scripts/snapshot_evidence.py (checkpoints/renders stay out of git).\n"
+            f"Snapshotted at repo commit `{commit or 'unknown'}`.\n"
+            "Regenerate logs/ itself with scripts/e2e_round3.sh then\n"
+            "scripts/regen_r3_bgw.sh (both idempotent against existing\n"
+            "checkpoints).\n\n"
+            f"- {len(copied)} files copied (psnr/sweep/ab/config)\n"
+            f"- {len(distilled)} metrics.jsonl files distilled to eval trajectories\n"
+        )
+    print(f"copied {len(copied)} files, distilled {len(distilled)} trajectories -> evidence/")
+
+
+if __name__ == "__main__":
+    main()
