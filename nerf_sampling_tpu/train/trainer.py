@@ -51,10 +51,17 @@ def _enable_compilation_cache() -> None:
     The remote AOT compile of the full train step takes minutes on the axon
     backend; the on-disk cache makes relaunches near-instant. Best-effort —
     older jax versions or exotic backends may not support it.
+
+    CPU backends are excluded: XLA:CPU cache entries are AOT-compiled
+    against the build host's exact CPU features, so a workspace that moves
+    hosts turns every cache hit into a cpu_aot_loader error (and a SIGILL
+    risk) — and CPU compiles are fast enough to not need the cache.
     """
     import os
 
     try:
+        if jax.default_backend() == "cpu":
+            return
         jax.config.update(
             "jax_compilation_cache_dir",
             os.environ.get(
