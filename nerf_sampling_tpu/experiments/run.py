@@ -85,18 +85,34 @@ from nerf_sampling_tpu.utils.config import (
 def main(**kw):
     """Run NeRF / sampling-network training with the provided configuration."""
     cfg = load_trainer_config(kw["config"], kw["model"])
+    # Reference-parity flags: the reference CLI feeds these into the config
+    # unconditionally (run.py:84-99 there), defaults included.
     cfg.single_image = kw["single_image"]
     cfg.single_ray = kw["single_ray"]
     cfg.i_print = kw["i_print"]
     cfg.wandb_mode = kw["wandb_mode"]
-    cfg.train_mode = kw["train_mode"]
-    cfg.basedir = kw["basedir"]
-    cfg.matmul_precision = kw["matmul_precision"]
-    cfg.mlp_impl = kw["mlp_impl"]
-    cfg.seed = kw["seed"]
+    # Extension flags (no reference analog): only a value the user actually
+    # typed may override the YAML — otherwise a click DEFAULT would silently
+    # clobber an explicit config entry (e.g. a YAML basedir).
+    ctx = click.get_current_context(silent=True)
+
+    def _apply_cli(field: str, param: str | None = None) -> None:
+        param = param or field
+        typed = ctx is not None and (
+            ctx.get_parameter_source(param)
+            == click.core.ParameterSource.COMMANDLINE
+        )
+        if typed or field not in cfg.explicit_keys:
+            setattr(cfg, field, kw[param])
+
+    _apply_cli("train_mode")
+    _apply_cli("basedir")
+    _apply_cli("matmul_precision")
+    _apply_cli("mlp_impl")
+    _apply_cli("seed")
     if kw["testskip"] is not None:
         cfg.testskip = kw["testskip"]
-    if kw["train_mode"] == "nerf" and cfg.precrop_iters == 0:
+    if cfg.train_mode == "nerf" and cfg.precrop_iters == 0:
         # reference blender configs train the first 500 iters on a center
         # crop (configs/lego.txt:16-17) to avoid density collapse; the YAML
         # (tuned for depth-net-only training) leaves it off.
@@ -116,7 +132,7 @@ def main(**kw):
             variant = "multi" if dataset_name == "example_hard" else "sphere"
             generate_example_dataset(datadir, H=800, W=800, variant=variant)
         candidate = f"{ROOT_DIR}/pretrained/nerf/{dataset_name}/200000.tar"
-        if kw["train_mode"] == "depth_net":
+        if cfg.train_mode == "depth_net":
             ft_path = candidate
         print(f"{dataset_name=}")
     if datadir is None:
@@ -138,7 +154,7 @@ def main(**kw):
     cfg.datadir = datadir
     cfg.expname = (
         f"{dataset_name or 'custom'}_depth_net"
-        if kw["train_mode"] == "depth_net"
+        if cfg.train_mode == "depth_net"
         else f"{dataset_name or 'custom'}_nerf"
     )
     # Reference run.py:148 forces depth_only for TRAIN-time rendering (the
@@ -148,16 +164,7 @@ def main(**kw):
     # default, but let a model entry that EXPLICITLY sets sampling_mode
     # (e.g. recommended_depth_net_module's gaussian keep_best protocol)
     # keep its eval mode instead of being silently clobbered.
-    explicit_mode = False
-    try:
-        import yaml as _yaml
-
-        with open(kw["config"]) as f:
-            _kwargs = _yaml.safe_load(f)[kw["model"]].get("kwargs", {})
-        explicit_mode = "sampling_mode" in _kwargs
-    except Exception:
-        pass
-    if not explicit_mode:
+    if "sampling_mode" not in cfg.explicit_keys:
         cfg.sampling_mode = "depth_only"
 
     trainer = Trainer(cfg)

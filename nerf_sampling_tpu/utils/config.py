@@ -30,6 +30,10 @@ class TrainerConfig:
     expname: str = "experiment"
     datadir: str = ""
     config_path: str | None = None
+    # keys the source config file EXPLICITLY set (filled by the loaders);
+    # lets CLIs distinguish "user chose this value" from a field default
+    # without re-parsing the file.
+    explicit_keys: frozenset = frozenset()
     device: str = "tpu"  # accepted for reference-config compat; jax picks backend
 
     # ray batching / pixel sampling
@@ -260,8 +264,10 @@ def load_trainer_config(path: str, model_key: str | None = None) -> TrainerConfi
     if model_key is not None and model_key in doc:
         doc = doc[model_key]
     kwargs = doc.get("kwargs", doc)
-    cfg = TrainerConfig(**_coerce(kwargs))
+    coerced = _coerce(kwargs)
+    cfg = TrainerConfig(**coerced)
     cfg.config_path = path
+    cfg.explicit_keys = frozenset(coerced)
     return cfg
 
 
@@ -290,4 +296,7 @@ def load_legacy_txt_config(path: str) -> TrainerConfig:
                     except (TypeError, ValueError):
                         continue
                 kwargs[key] = value
-    return TrainerConfig(**_coerce(kwargs))
+    coerced = _coerce(kwargs)
+    cfg = TrainerConfig(**coerced)
+    cfg.explicit_keys = frozenset(coerced)
+    return cfg

@@ -265,3 +265,52 @@ class TestCliEndToEnd:
             )
             assert res.exit_code == 0, res.output
             assert seen["mode"] == want, (yaml_path, seen["mode"])
+
+    def test_yaml_extension_fields_survive_cli_defaults(
+        self, tmp_path, monkeypatch
+    ):
+        """Extension flags (--basedir/--seed/...) have click defaults; a YAML
+        that sets those fields explicitly must win over the DEFAULT, while a
+        value the user actually typed must still override the YAML."""
+        from click.testing import CliRunner
+
+        from nerf_sampling_tpu.data.example import generate_example_dataset
+        from nerf_sampling_tpu.experiments import run as run_cli
+        from nerf_sampling_tpu.train.trainer import Trainer
+
+        datadir = generate_example_dataset(
+            str(tmp_path / "data"), H=16, W=16, n_train=2, n_val=1, n_test=1
+        )
+        yaml_basedir = tmp_path / "yaml_logs"
+        yaml_path = tmp_path / "ext.yaml"
+        yaml_path.write_text(
+            open(self._tiny_yaml(tmp_path)).read()
+            + f"    basedir: {yaml_basedir}\n"
+            + "    seed: 7\n"
+        )
+        seen = {}
+
+        def fake_train(self, N_iters=1):
+            seen["basedir"] = self.cfg.basedir
+            seen["seed"] = self.cfg.seed
+            return 0.0
+
+        monkeypatch.setattr(Trainer, "train", fake_train)
+        runner = CliRunner()
+        common = ["-c", str(yaml_path), "-m", "tiny_module", "-dp", datadir,
+                  "--mode", "nerf", "--n_iters", "1"]
+        # no --basedir/--seed typed: the YAML values must survive the defaults
+        res = runner.invoke(run_cli.main, common, catch_exceptions=False)
+        assert res.exit_code == 0, res.output
+        assert seen["basedir"] == str(yaml_basedir)
+        assert seen["seed"] == 7
+        # typed values still override the YAML
+        cli_basedir = tmp_path / "cli_logs"
+        res = runner.invoke(
+            run_cli.main,
+            common + ["--basedir", str(cli_basedir), "--seed", "11"],
+            catch_exceptions=False,
+        )
+        assert res.exit_code == 0, res.output
+        assert seen["basedir"] == str(cli_basedir)
+        assert seen["seed"] == 11
