@@ -78,8 +78,12 @@ def _pe_matrices(multires: int, multires_views: int):
                     F[base + dim, col] = 2.0**f
                     P[col] = phase
                     col += 1
-    for dim in range(6):  # raw passthrough lanes: X_o@F -> [o | vd], X_d@F -> [d | 0]
-        F[dim, col + dim] = 1.0
+    if col + 6 <= PAD:  # raw passthrough lanes: X_o@F -> [o | vd], X_d@F -> [d | 0]
+        for dim in range(6):
+            F[dim, col + dim] = 1.0
+    # else: sin/cos columns fill (nearly) all of PAD — no room for the raw
+    # lanes. Point kernels (stuff_raw=False) don't use them; ray kernels
+    # reject the config in pack_nerf_params.
     return F, P
 
 
@@ -139,8 +143,16 @@ def pack_nerf_params(
     if Cp != 3 + 6 * multires or Cv != 3 + 6 * multires_views:
         raise ValueError("input_ch inconsistent with multires settings")
     rb = raw_base(multires, multires_views)
-    if rb + 6 > PAD:
-        raise ValueError("sin-feature width (+raw lanes) exceeds PAD")
+    if rb > PAD:
+        raise ValueError("sin-feature width exceeds PAD")
+    if stuff_raw and rb + 6 > PAD:
+        # Only the affine ray kernels need the 6 raw passthrough lanes;
+        # point kernels (stuff_raw=False) work up to the full PAD width.
+        raise ValueError(
+            "no room for the raw passthrough lanes at this multires "
+            "(6*(multires+multires_views) must be <= PAD-6 for the ray "
+            "kernels); use the point-kernel or XLA path"
+        )
     rb_or_none = rb if stuff_raw else None
 
     def cast(x):

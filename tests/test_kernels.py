@@ -83,3 +83,43 @@ class TestFusedNeRF:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
         )
+
+
+class TestPadEdgeMultires:
+    """multires combos whose sin/cos columns fill PAD so the 6 raw
+    passthrough lanes don't fit: point kernels must still work (they never
+    read those lanes); the ray kernels' stuff_raw pack must fail loudly."""
+
+    def _cfg(self, multires=17, multires_views=4):
+        return NeRFConfig(
+            D=3, W=64,
+            input_ch=3 + 6 * multires,
+            input_ch_views=3 + 6 * multires_views,
+            output_ch=5, skips=(1,), use_viewdirs=True,
+        )
+
+    def test_point_kernel_works_without_raw_lanes(self, rng):
+        # rb = 6*(17+4) = 126 <= PAD=128 but 126+6 > PAD
+        cfg = self._cfg()
+        params = nerf_init(jax.random.PRNGKey(0), cfg)
+        pts = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
+        dirs = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
+        pe = positional_encoding(pts, 17)
+        de = positional_encoding(jnp.broadcast_to(dirs, pts.shape), 4)
+        want = nerf_apply(params, cfg, jnp.concatenate([pe, de], -1))
+        got = fused_nerf_apply(
+            params, cfg, pts, dirs, multires=17, multires_views=4,
+            dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+    def test_stuff_raw_pack_raises(self):
+        from nerf_sampling_tpu.kernels.fused_nerf import pack_nerf_params
+
+        cfg = self._cfg()
+        params = nerf_init(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError, match="raw passthrough"):
+            pack_nerf_params(params, cfg, multires=17, multires_views=4,
+                             stuff_raw=True)
