@@ -522,13 +522,9 @@ def render_rays_eval(
             pipeline.depth,
             rays.rays_o,
             rays.rays_d,
-            # COMPARE is the parity-diagnostic mode: a bf16 depth error
-            # (~1e-3 z) shifts every populated sample and amplifies into
-            # ~0.03 rgb through density edges. fp32 keeps the diagnostic
-            # in the 3e-4 class; the production DEPTH_NET mode stays bf16.
-            dtype=jnp.float32
-            if mode == EvalMode.COMPARE_NERF
-            else jnp.bfloat16,
+            # Never COMPARE_NERF here (replaced with the fp32 XLA pipeline
+            # at the top of this function), so production bf16 is safe.
+            dtype=jnp.bfloat16,
             interpret=jax.default_backend() == "cpu",
         )
     else:
