@@ -34,13 +34,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_cluster_matches_single_process(tmp_path):
-    port = _free_port()
+def _run_cluster(tmp_path, port: int, attempt: int):
+    """Launch the 2-process cluster on `port`; returns (returncodes, logs, outs)."""
     procs, outs = [], []
     try:
         for pid in range(2):
-            out = tmp_path / f"mh_{pid}.json"
+            out = tmp_path / f"mh_{attempt}_{pid}.json"
             outs.append(out)
             env = dict(
                 os.environ,
@@ -61,14 +60,30 @@ def test_two_process_cluster_matches_single_process(tmp_path):
                 )
             )
         logs = [p.communicate(timeout=600)[0] for p in procs]
-        for p, log in zip(procs, logs):
-            assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
     finally:
         # a worker deadlocked in a collective would otherwise outlive the
         # test (Gloo waits forever for its peer)
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return [p.returncode for p in procs], logs, outs
+
+
+@pytest.mark.slow
+def test_two_process_cluster_matches_single_process(tmp_path):
+    # _free_port closes the probe socket before the coordinator binds it, so
+    # another process can steal the port in between (TOCTOU); retry on a
+    # fresh port when the failure looks like a bind/address clash.
+    for attempt in range(3):
+        rcs, logs, outs = _run_cluster(tmp_path, _free_port(), attempt)
+        if all(rc == 0 for rc in rcs):
+            break
+        joined = "\n".join(logs)
+        bindish = any(
+            s in joined for s in ("bind", "address already in use", "Address already")
+        )
+        if not (bindish and attempt < 2):
+            assert False, f"worker failed:\n{joined[-3000:]}"
 
     results = [json.loads(out.read_text()) for out in outs]
     for r in results:
