@@ -332,8 +332,7 @@ def make_multi_step(
         return jax.jit(
             fn,
             in_shardings=in_sh,
-            out_shardings=out_states + (rep,) if len(out_states) > 1
-            else (rep, rep),
+            out_shardings=out_states + (rep,),  # states... + metrics
             donate_argnums=donate,
         )
 

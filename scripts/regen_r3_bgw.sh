@@ -45,9 +45,6 @@ for SCENE in example_hard example; do
     tail -1 /tmp/ab_${SCENE}.out > "logs/r3_bgw/${SCENE}_ab.json"
   fi
 done
-# RESULTS.md historically cites the easy-scene file as example_ab.json
-cp logs/r3_bgw/example_ab.json logs/r3_bgw/example_ab.json.bak 2>/dev/null || true
-
 # 3. Render the fg-only (bgw=0) best checkpoints through the reference
 #    sweep cells used in RESULTS.md
 BEST_EX=$(dn_for logs/r3_bgw/example_bgw_0)

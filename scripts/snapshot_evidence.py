@@ -16,6 +16,7 @@ import json
 import os
 import shutil
 import subprocess
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOGS = os.path.join(REPO, "logs")
@@ -25,7 +26,7 @@ COPY_NAMES = {"psnr.txt", "experiments_results.txt", "config.txt", "args.txt"}
 COPY_SUFFIXES = ("_ab.json",)
 
 
-def main() -> None:
+def main() -> int:
     copied, distilled = [], []
     for dirpath, _dirnames, filenames in os.walk(LOGS):
         rel = os.path.relpath(dirpath, LOGS)
@@ -55,6 +56,17 @@ def main() -> None:
                     json.dump(rows, f, indent=1)
                 distilled.append(os.path.relpath(dst, OUT))
 
+    if not copied and not distilled:
+        # A fresh workspace has no logs/ tree (it is gitignored): bail out
+        # rather than rewriting the committed MANIFEST to claim "0 files"
+        # over stale-but-valid evidence artifacts.
+        print(
+            "no artifacts found under logs/ — regenerate with "
+            "scripts/e2e_round3.sh first; leaving evidence/ untouched",
+            file=sys.stderr,
+        )
+        return 1
+
     commit = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, capture_output=True, text=True
     ).stdout.strip()
@@ -71,7 +83,8 @@ def main() -> None:
             f"- {len(distilled)} metrics.jsonl files distilled to eval trajectories\n"
         )
     print(f"copied {len(copied)} files, distilled {len(distilled)} trajectories -> evidence/")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
