@@ -183,7 +183,6 @@ def _kernel(
     white_bkgd,
     z_source,
     lindisp,
-    std,
     refs,
     scratch,
     chunk_rows=None,
@@ -195,8 +194,10 @@ def _kernel(
     "input" (pre-transposed [S, N] z-values input) | "gaussian"
     (in-kernel PRNG population around the per-ray depth, seed input).
 
-    z_offsets: the around_center offsets as a STATIC tuple (same values as
-    the z_ref input) — enables the offset-scheduled rotation PE."""
+    z_offsets: the around_center UNIT offset grid as a STATIC tuple (the
+    z_ref input carries the std-scaled values; the PE reads the scale from
+    the rays' lane 7) — enables the offset-scheduled rotation PE without
+    putting the sweep distance in the compile key."""
     if z_source in ("around_center", "input", "input_unsorted"):
         rays_ref, z_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
         wrefs = refs[4:-1]
@@ -215,7 +216,7 @@ def _kernel(
     w = ops.unpack_wrefs(cfg, wrefs)
     F, P = F_ref[:], P_ref[:]
 
-    rays = rays_ref[:]  # [R, 8]: o(3) | d(3) | z_center(1) | pad(1)
+    rays = rays_ref[:]  # [R, 8]: o(3) | d(3) | z_center(1) | std-or-pad(1)
     o = rays[:, 0:3]
     d = rays[:, 3:6]
     d_norm = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))  # [R, 1]
@@ -237,12 +238,15 @@ def _kernel(
         # center + std*randn, row S-1 is the center itself; NO [2,6] clip
         # (only the uniform mode clips). Composited unsorted below — the
         # sort in the reference only orders samples, which the order-free
-        # compositor reproduces exactly.
+        # compositor reproduces exactly. std rides the rays' spare lane 7
+        # (traced data, not a static) so a distance sweep reuses one
+        # compiled kernel per sample count.
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         center = rays[:, 6][None, :]  # [1, R]
+        stdv = rays[:, 7][None, :]  # [1, R]
         noise = ops.normal_rows((S, R))
         row_i = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0)
-        z_s[:] = center + jnp.where(row_i < S - 1, std * noise, 0.0)
+        z_s[:] = center + jnp.where(row_i < S - 1, stdv * noise, 0.0)
     else:
         # stratified linspace at perturb=0 (Trainer.py:604-611); lindisp
         # spaces linearly in inverse depth (1/z)
@@ -276,11 +280,19 @@ def _kernel(
         z_step = (float(near), (far - near) / max(S - 1, 1))
     elif z_source == "around_center" and pe_rotation and z_offsets is not None:
         center_col = rays[:, 6][:, None]  # [R, 1]
+        # z_offsets is the UNIT grid (std=1, a function of n_samples only):
+        # the schedule is scale-invariant, and the actual std rides the
+        # rays' spare lane 7 as traced data (exactly like the gaussian
+        # mode), so a distance sweep does NOT enter the static compile key.
+        # Read as [R, 1]: a per-ray load, not a [1,1]-to-plane broadcast —
+        # Mosaic has no both-axes broadcast, and XLA folds any staged
+        # widening back into one (measured: S=2 fails while S=64 compiles).
+        scale = rays[:, 7][:, None]  # [R, 1] = std
 
         def pe_provider_fn(consts):
             return ops.PEOffsetRotation(
                 consts, P, center_col, z_offsets, float(near), float(far),
-                dtype, raw_base,
+                dtype, raw_base, scale=scale,
             )
 
     _mlp_plane_loop(
@@ -309,25 +321,25 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "cfg", "dtype", "n_samples", "near", "far", "white_bkgd", "tile",
-        "interpret", "z_source", "lindisp", "std", "chunk_rows",
+        "interpret", "z_source", "lindisp", "chunk_rows",
         "pe_rotation", "z_offsets", "raw_base",
     ),
 )
 def _call(rays, z_arg, F, P, packed_flat, cfg, dtype, n_samples, near, far,
           white_bkgd, tile, interpret, z_source="linspace", lindisp=False,
-          std=0.0, chunk_rows=None, pe_rotation=None, z_offsets=None,
+          chunk_rows=None, pe_rotation=None, z_offsets=None,
           raw_base=0):
     def kern(*refs_and_scratch):
         refs, scratch = refs_and_scratch[:-5], refs_and_scratch[-5:]
         _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source,
-                lindisp, std, refs, scratch, chunk_rows=chunk_rows,
+                lindisp, refs, scratch, chunk_rows=chunk_rows,
                 pe_rotation=pe_rotation, z_offsets=z_offsets,
                 raw_base=raw_base)
 
     in_arrays = [rays]
     in_specs = [pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     if z_source == "around_center":
-        in_arrays.append(z_arg)  # static offsets [S, 1]
+        in_arrays.append(z_arg)  # actual (std-scaled) offsets [S, 1]
         in_specs.append(
             pl.BlockSpec(z_arg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
@@ -387,13 +399,15 @@ def _maps_from_rows(out) -> dict[str, jnp.ndarray]:
     }
 
 
-def _pack_rays(rays_o, rays_d, tile, center=None, pad_center=4.0):
+def _pack_rays(rays_o, rays_d, tile, center=None, pad_center=4.0, aux7=None):
     n = rays_o.shape[0]
     rays = jnp.zeros((n, 8), jnp.float32)
     rays = rays.at[:, 0:3].set(rays_o.astype(jnp.float32))
     rays = rays.at[:, 3:6].set(rays_d.astype(jnp.float32))
     if center is not None:
         rays = rays.at[:, 6].set(center.reshape(-1).astype(jnp.float32))
+    if aux7 is not None:  # spare lane (gaussian std rides here as data)
+        rays = rays.at[:, 7].set(jnp.float32(aux7))
     pad = (-n) % tile
     if pad:
         padding = jnp.zeros((pad, 8), jnp.float32).at[:, 5].set(-1.0)
@@ -495,8 +509,12 @@ def fused_render_around_depth(
     _check_samples(n_samples)
     if tile is None:
         tile = _default_tile(n_samples)
-    rays, n = _pack_rays(rays_o, rays_d, tile, center=depth)
-    offsets = uniform_population_offsets(n_samples, std)  # host constant
+    # Actual offsets ride as TRACED input [S, 1] and std rides the rays'
+    # spare lane 7; the static z_offsets key is the UNIT grid (a function
+    # of n_samples only), so sweeping the distance does not recompile.
+    rays, n = _pack_rays(rays_o, rays_d, tile, center=depth, aux7=std)
+    offsets = jnp.asarray(uniform_population_offsets(n_samples, std))
+    unit = uniform_population_offsets(n_samples, 1.0)
     F, P = _pe_matrices(multires, multires_views)
     packed_flat = tuple(
         _flatten_packed(pack_nerf_params(
@@ -506,7 +524,7 @@ def fused_render_around_depth(
         rays, offsets, F, P, packed_flat, cfg, dtype, offsets.shape[0],
         float(clip_near), float(clip_far), bool(white_bkgd), tile, interpret,
         z_source="around_center", pe_rotation=pe_rotation,
-        z_offsets=tuple(float(v) for v in offsets.reshape(-1)),
+        z_offsets=tuple(float(v) for v in unit.reshape(-1)),
         raw_base=_raw_base(multires, multires_views),
     )[:, :n]
     return _maps_from_rows(out)
@@ -550,7 +568,9 @@ def fused_render_gaussian(
     _check_samples(n_samples)
     if tile is None:
         tile = _default_tile(n_samples)
-    rays, n = _pack_rays(rays_o, rays_d, tile, center=depth)
+    # std rides the rays' spare lane as traced data — a distance sweep
+    # reuses one compiled kernel per sample count
+    rays, n = _pack_rays(rays_o, rays_d, tile, center=depth, aux7=std)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     F, P = _pe_matrices(multires, multires_views)
     packed_flat = tuple(
@@ -560,7 +580,7 @@ def fused_render_gaussian(
     out = _call(
         rays, seed_arr, F, P, packed_flat, cfg, dtype, n_samples,
         2.0, 6.0, bool(white_bkgd), tile, interpret,
-        z_source="gaussian", std=float(std),
+        z_source="gaussian",
         raw_base=_raw_base(multires, multires_views),
     )[:, :n]
     return _maps_from_rows(out)

@@ -152,10 +152,18 @@ class PEOffsetRotation:
 
     Python-side state (the schedule index) — usable only from statically
     unrolled chunk loops.
+
+    scale: optional TRACED [1, 1] multiplier applied to every offset. The
+    schedule (which delta fires at each step, delta equality) is decided
+    on the static offsets, but all emitted values use offset*scale — so a
+    caller can pass the UNIT grid statically and the actual std as traced
+    data, and a distance sweep reuses one compiled kernel per sample
+    count. The rotation constants were always trace-time tensor math on
+    the per-ray B, so a traced scale costs nothing extra per step.
     """
 
     def __init__(self, consts, P, center_col, offsets, near, far, dtype,
-                 raw_base):
+                 raw_base, scale=None):
         import numpy as _np
 
         A, B = consts
@@ -172,9 +180,14 @@ class PEOffsetRotation:
         offs = _np.asarray(offsets, _np.float32).reshape(-1)
         self._offs = offs
         self._dtype = dtype
+        self._scale = scale
         self._i = 0
+
+        def scaled(off):
+            return off * scale if scale is not None else off
+
         # base at the UNCLIPPED z0 = center + off[0]
-        ang0 = A0 + (center_col + float(offs[0])) * B
+        ang0 = A0 + (center_col + scaled(float(offs[0]))) * B
         s0, c0 = jnp.sin(ang0), jnp.cos(ang0)
         self._E = jnp.where(raw, ang0, jnp.where(mask_cos, c0, s0))
         self._G = jnp.where(raw, 0.0, jnp.where(mask_cos, -s0, c0))
@@ -187,9 +200,9 @@ class PEOffsetRotation:
         deltas = offs[1:] - offs[:-1]
         self._rot = {
             float(d): (
-                jnp.where(raw, 1.0, jnp.cos(float(d) * B)),
-                jnp.where(raw, 0.0, jnp.sin(float(d) * B)),
-                jnp.where(raw, float(d) * B, 0.0),
+                jnp.where(raw, 1.0, jnp.cos(scaled(float(d)) * B)),
+                jnp.where(raw, 0.0, jnp.sin(scaled(float(d)) * B)),
+                jnp.where(raw, scaled(float(d)) * B, 0.0),
             )
             for d in _np.unique(deltas)
             if d != 0.0
@@ -200,6 +213,8 @@ class PEOffsetRotation:
         rows = []
         for _ in range(SC):
             off_i = float(self._offs[self._i])
+            if self._scale is not None:
+                off_i = off_i * self._scale
             zc = self._center + off_i  # [R, 1] unclipped
             emit = jnp.where(
                 zc > self._far,

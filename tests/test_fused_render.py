@@ -247,6 +247,45 @@ class TestRotationPE:
         err = float(jnp.max(jnp.abs(e["rgb_map"] - f["rgb_map"])))
         assert err < 1e-3, err
 
+    def test_offset_rotation_traced_scale(self, rng):
+        """The offset rotation's schedule is keyed on the UNIT grid and the
+        actual std is recovered from the traced z input — a non-unit,
+        non-round distance must still match the transcendental path, and
+        sweeping the distance must NOT add a kernel compile cache entry."""
+        from nerf_sampling_tpu.kernels import fused_render as fr
+        from nerf_sampling_tpu.kernels.fused_render import (
+            fused_render_around_depth,
+        )
+
+        cfg = NeRFConfig(
+            D=2, W=32, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(), use_viewdirs=True,
+        )
+        params = nerf_init_active(jax.random.PRNGKey(9), cfg)
+        ro, rd = make_rays(128, rng)
+        depth = jnp.asarray(
+            np.linspace(2.2, 5.8, 128, dtype=np.float32).reshape(128, 1)
+        )
+        for std in (0.37, 0.7):
+            a = fused_render_around_depth(
+                params, cfg, ro, rd, depth, n_samples=16, std=std,
+                dtype=jnp.float32, interpret=True, pe_rotation=True,
+            )
+            b = fused_render_around_depth(
+                params, cfg, ro, rd, depth, n_samples=16, std=std,
+                dtype=jnp.float32, interpret=True, pe_rotation=False,
+            )
+            err = float(jnp.max(jnp.abs(a["rgb_map"] - b["rgb_map"])))
+            assert err < 1e-3, (std, err)
+        # the two stds above shared ONE rotation-kernel compile: only the
+        # first call may add a cache entry for this (n, flags) point
+        n_before = fr._call._cache_size()
+        fused_render_around_depth(
+            params, cfg, ro, rd, depth, n_samples=16, std=0.51,
+            dtype=jnp.float32, interpret=True, pe_rotation=True,
+        )
+        assert fr._call._cache_size() == n_before
+
     def test_fp32_auto_keeps_transcendental(self, rng):
         """fp32 diagnostic kernels must stay bit-identical to the
         transcendental path (auto gating)."""
