@@ -73,8 +73,8 @@ def _stub_optional_modules():
             })
 
 
-@pytest.fixture(scope="module")
-def ref(tmp_path_factory):
+def _build_fixture(tmp, nerf_kw, depth_hidden, h, w, n_samples, n_importance,
+                   n_depth_samples, distance):
     """(reference modules, reference render kwargs, our params/pipeline/tar).
 
     Builds ONE shared checkpoint: our active-density init (non-vacuous
@@ -107,23 +107,23 @@ def ref(tmp_path_factory):
     from nerf_sampling_tpu.render import NeRFParams, Pipeline
     from nerf_sampling_tpu.train.checkpoint import export_torch_checkpoint
 
-    nerf_cfg = NeRFConfig(**_NERF_KW)
+    nerf_cfg = NeRFConfig(**nerf_kw)
     depth_cfg = DepthNetConfig(
-        hidden_sizes=_DEPTH_HIDDEN, cat_hidden_sizes=_DEPTH_HIDDEN
+        hidden_sizes=depth_hidden, cat_hidden_sizes=depth_hidden
     )
     pipeline = Pipeline(
         nerf=nerf_cfg,
         fine=nerf_cfg,
         depth=depth_cfg,
-        N_samples=_N_SAMPLES,
-        N_importance=_N_IMPORTANCE,
+        N_samples=n_samples,
+        N_importance=n_importance,
         perturb=0.0,
         raw_noise_std=0.0,
         white_bkgd=True,
         lindisp=False,
-        n_depth_samples=_N_DEPTH_SAMPLES,
+        n_depth_samples=n_depth_samples,
         sampling_mode="uniform",
-        distance=_DISTANCE,
+        distance=distance,
         mlp_impl="xla",
     )
     ks = jax.random.split(jax.random.PRNGKey(3), 3)
@@ -133,17 +133,16 @@ def ref(tmp_path_factory):
         depth=depth_net_init(ks[2], depth_cfg),
     )
 
-    tmp = tmp_path_factory.mktemp("ref_parity")
     tar = str(tmp / "000100.tar")
     export_torch_checkpoint(tar, 100, params.coarse, params.fine, params.depth)
 
     trainer = sampling_trainer.DepthNetTrainer(
-        distance=_DISTANCE,
+        distance=distance,
         sampling_mode="uniform",
-        n_depth_samples=_N_DEPTH_SAMPLES,
+        n_depth_samples=n_depth_samples,
         depth_net_path=tar,
-        n_layers=len(_DEPTH_HIDDEN),
-        layer_width=_DEPTH_HIDDEN[0],
+        n_layers=len(depth_hidden),
+        layer_width=depth_hidden[0],
         sphere_radius=2.0,
         half_res=False,
         white_bkgd=True,
@@ -157,12 +156,12 @@ def ref(tmp_path_factory):
         datadir=str(tmp),
         device="cpu",
         input_dims_embed=3,
-        N_importance=_N_IMPORTANCE,
-        N_samples=_N_SAMPLES,
-        netdepth=_NERF_KW["D"],
-        netwidth=_NERF_KW["W"],
-        netdepth_fine=_NERF_KW["D"],
-        netwidth_fine=_NERF_KW["W"],
+        N_importance=n_importance,
+        N_samples=n_samples,
+        netdepth=nerf_kw["D"],
+        netwidth=nerf_kw["W"],
+        netdepth_fine=nerf_kw["D"],
+        netwidth_fine=nerf_kw["W"],
         perturb=0.0,
         raw_noise_std=0.0,
         lindisp=False,
@@ -176,17 +175,40 @@ def ref(tmp_path_factory):
         kw_test=kw_test,
         pipeline=pipeline,
         params=params,
+        h=h,
+        w=w,
     )
 
 
-def _camera():
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    return _build_fixture(
+        tmp_path_factory.mktemp("ref_parity"), _NERF_KW, _DEPTH_HIDDEN,
+        _H, _W, _N_SAMPLES, _N_IMPORTANCE, _N_DEPTH_SAMPLES, _DISTANCE,
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_full(tmp_path_factory):
+    """Production-width stack: W=256 D=8 NeRF (multires 10) + 10x256
+    DepthNet — the reference's run.py operating sizes (run.py:101-107) —
+    on a small 16x16 ray grid so the CPU cost stays in seconds."""
+    return _build_fixture(
+        tmp_path_factory.mktemp("ref_parity_full"),
+        dict(D=8, W=256, input_ch=63, input_ch_views=27, output_ch=5,
+             skips=(4,), use_viewdirs=True),
+        (256,) * 10, 16, 16, 16, 16, 8, _DISTANCE,
+    )
+
+
+def _camera(h=_H, w=_W):
     """One example-scene pose + intrinsics (shared by both implementations)."""
     from nerf_sampling_tpu.data.blender import pose_spherical
 
     camera_angle_x = 0.6911112070083618
-    focal = 0.5 * _W / np.tan(0.5 * camera_angle_x)
+    focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
     K = np.array(
-        [[focal, 0, 0.5 * _W], [0, focal, 0.5 * _H], [0, 0, 1]], np.float32
+        [[focal, 0, 0.5 * w], [0, focal, 0.5 * h], [0, 0, 1]], np.float32
     )
     c2w = np.asarray(pose_spherical(30.0, -30.0, 4.0), np.float32)
     return K, c2w
@@ -201,13 +223,13 @@ def _render_reference(ref, mode_flags: dict, train_path: bool = False):
              ("compare_nerf", "use_nerf_max_pts", "use_full_nerf")}
     for k in saved:
         setattr(tr, k, mode_flags.get(k, False))
-    K, c2w = _camera()
+    K, c2w = _camera(ref.h, ref.w)
     try:
         with torch.no_grad():
             fn = ref.nerf_utils.render if train_path else ref.nerf_utils.render_test
             rgb, disp, extras = fn(
-                _H,
-                _W,
+                ref.h,
+                ref.w,
                 torch.tensor(K),
                 chunk=1 << 16,
                 c2w=torch.tensor(c2w[:3, :4]),
@@ -232,22 +254,22 @@ def _render_ours(ref, mode, train_path: bool = False):
         render_rays_train,
     )
 
-    K, c2w = _camera()
+    K, c2w = _camera(ref.h, ref.w)
     key = jax.random.PRNGKey(0)  # unused: perturb=0, noise=0, uniform mode
     if not train_path:
         maps = render_image(
-            ref.pipeline, ref.params, _H, _W, np.asarray(K),
+            ref.pipeline, ref.params, ref.h, ref.w, np.asarray(K),
             np.asarray(c2w[:3, :4]), key, mode, chunk=1 << 16,
         )
     else:
         from nerf_sampling_tpu.core.rays import get_rays_np
 
-        ro, rd = get_rays_np(_H, _W, K, c2w[:3, :4])
+        ro, rd = get_rays_np(ref.h, ref.w, K, c2w[:3, :4])
         rays = make_ray_batch(
             ref.pipeline, ro.reshape(-1, 3), rd.reshape(-1, 3)
         )
         flat = render_rays_train(ref.pipeline, ref.params, rays, key)
-        maps = {k: np.asarray(v).reshape(_H, _W, *v.shape[1:])
+        maps = {k: np.asarray(v).reshape(ref.h, ref.w, *v.shape[1:])
                 for k, v in flat.items()}
     out = {
         "rgb": np.asarray(maps["depth_net_rgb_map"]),
@@ -349,6 +371,40 @@ class TestCrossImplementationRenderParity:
             rtol=0, atol=1e-4,
         )
 
+    def test_full_width_render_spot_check(self, ref_full):
+        """Production-width cross-check (W=256, multires 10, 10x256 DepthNet).
+
+        The suite above runs at W=64 for CPU speed; a width-dependent bug
+        class (packing/order mistakes that cancel at reduced width) would
+        survive it. This renders a few hundred rays at the reference's
+        production operating sizes through BOTH stacks: the default
+        DEPTH_NET populate eval and the train path (argmax supervision +
+        single-point query)."""
+        from nerf_sampling_tpu.render import EvalMode
+
+        theirs = _render_reference(ref_full, {})
+        ours = _render_ours(ref_full, EvalMode.DEPTH_NET)
+        np.testing.assert_allclose(
+            ours["rgb"].reshape(-1, 3), theirs["rgb"].reshape(-1, 3),
+            rtol=0, atol=1e-4,
+        )
+        theirs_t = _render_reference(ref_full, {}, train_path=True)
+        ours_t = _render_ours(ref_full, None, train_path=True)
+        np.testing.assert_allclose(
+            ours_t["rgb"].reshape(-1, 3), theirs_t["rgb"].reshape(-1, 3),
+            rtol=0, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            ours_t["depth_net_z_vals"].reshape(-1),
+            theirs_t["depth_net_z_vals"].reshape(-1),
+            rtol=0, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            ours_t["max_z_vals"].reshape(-1),
+            theirs_t["max_z_vals"].reshape(-1),
+            rtol=0, atol=1e-4,
+        )
+
     def test_psnr_delta_vs_ground_truth(self, ref):
         """BASELINE criterion made testable: both implementations render the
         same checkpoint on an example-scene view; PSNR vs GT must agree to
@@ -367,3 +423,128 @@ class TestCrossImplementationRenderParity:
 
         p_ref, p_ours = psnr(theirs["rgb"]), psnr(ours["rgb"])
         assert abs(p_ref - p_ours) <= 0.1, (p_ref, p_ours)
+
+
+class TestCrossImplementationGradientParity:
+    """TRAINING parity: gradients, not just pixels (VERDICT r3 #3).
+
+    The render suite above proves the forward paths match; a transcription
+    error in the LOSS WIRING (e.g. the reference's subtle
+    both-losses-sum-into-depth-params semantics, Trainer.py:506-544) would
+    pass every pixel test. Here ONE reference optimization step's backward
+    — torch autograd of img2mse(depth_rgb, target) +
+    F.mse_loss(depth_net_z_vals, max_z_vals) w.r.t. the DepthNet params,
+    run exactly as core_optimization_loop runs it (two backward calls
+    accumulating into the same .grad buffers) — is compared against the
+    gradient our PRODUCTION depth-net train step applies (driven through
+    make_depth_net_train_step with an lr=1 SGD, so grads = old - new
+    params), same rays, same target, perturb=0/noise=0.
+    """
+
+    def _target(self, ref):
+        from nerf_sampling_tpu.data.example import _render_analytic
+
+        K, c2w = _camera(ref.h, ref.w)
+        gt = _render_analytic(ref.h, ref.w, float(K[0, 0]), np.asarray(c2w))
+        return gt.reshape(-1, 3).astype(np.float32)
+
+    def _reference_depth_grads(self, ref, target):
+        """Run core_optimization_loop's forward+backward (Trainer.py:506-544)
+        on the reference stack; return {torch param name: grad}."""
+        import torch
+        import torch.nn.functional as F
+
+        K, c2w = _camera(ref.h, ref.w)
+        from nerf_sampling_tpu.core.rays import get_rays_np
+
+        ro, rd = get_rays_np(ref.h, ref.w, K, c2w[:3, :4])
+        batch_rays = torch.stack(
+            [torch.tensor(ro.reshape(-1, 3)), torch.tensor(rd.reshape(-1, 3))], 0
+        )
+        depth_network = ref.kw_train["depth_network"]
+        for p in depth_network.parameters():
+            p.grad = None
+
+        helpers = ref.nerf_utils.run_nerf_helpers
+        rgb, _disp, extras = ref.nerf_utils.render(
+            ref.h,
+            ref.w,
+            torch.tensor(K),
+            chunk=1 << 16,
+            rays=batch_rays,
+            retraw=True,
+            **ref.kw_train,
+        )
+        img_loss = helpers.img2mse(rgb, torch.tensor(target))
+        loss = img_loss  # no rgb0 on the depth-net train path
+        depth_net_loss = F.mse_loss(
+            extras["depth_net_z_vals"], extras["max_z_vals"]
+        )
+        # the reference's exact two-backward accumulation (Trainer.py:538-539)
+        depth_net_loss.backward(retain_graph=True)
+        loss.backward()
+        return {
+            name: p.grad.detach().numpy().copy()
+            for name, p in depth_network.named_parameters()
+        }
+
+    def _our_depth_grads(self, ref, target):
+        """Gradient the production step applies: make_depth_net_train_step
+        with SGD(lr=1), grads = params_before - params_after."""
+        import jax
+        import optax
+
+        from nerf_sampling_tpu.core.rays import get_rays_np
+        from nerf_sampling_tpu.render import NeRFParams
+        from nerf_sampling_tpu.render.engine import make_ray_batch
+        from nerf_sampling_tpu.train.steps import make_depth_net_train_step
+        from nerf_sampling_tpu.train.state import TrainState
+
+        K, c2w = _camera(ref.h, ref.w)
+        ro, rd = get_rays_np(ref.h, ref.w, K, c2w[:3, :4])
+        rays = make_ray_batch(
+            ref.pipeline, ro.reshape(-1, 3), rd.reshape(-1, 3)
+        )
+        opt = optax.sgd(1.0)
+        before = jax.tree.map(lambda x: np.asarray(x).copy(), ref.params.depth)
+        state = TrainState(0, ref.params.depth, opt.init(ref.params.depth))
+        step = make_depth_net_train_step(
+            ref.pipeline, opt,
+            frozen_nerf=NeRFParams(ref.params.coarse, ref.params.fine, None),
+        )
+        new_state, _metrics = step(state, (rays, target), jax.random.PRNGKey(0))
+        return jax.tree.map(
+            lambda b, a: b - np.asarray(a), before, new_state.params
+        )
+
+    def test_depth_step_gradients(self, ref):
+        from nerf_sampling_tpu.train.checkpoint import depth_net_params_to_torch
+
+        target = self._target(ref)
+        theirs = self._reference_depth_grads(ref, target)
+        ours_by_torch_name = {
+            k: v.numpy() for k, v in
+            depth_net_params_to_torch(self._our_depth_grads(ref, target)).items()
+        }
+        assert set(theirs) == set(ours_by_torch_name)
+
+        flat_ref, flat_ours = [], []
+        for name in sorted(theirs):
+            g_ref, g_ours = theirs[name], ours_by_torch_name[name]
+            # 1e-4-class budget: the FORWARD paths agree to atol 1e-4 (the
+            # pixel suite above), so backward accumulation-order noise on
+            # top of that lands element diffs ~1e-4 (measured max 1.6e-4 /
+            # 0.5% rel). A loss-WIRING error (a dropped or doubled term)
+            # shifts gradients at the O(1)-relative level — far outside
+            # this bound.
+            np.testing.assert_allclose(
+                g_ours, g_ref, rtol=1e-2, atol=5e-4,
+                err_msg=f"depth-net gradient mismatch at {name}",
+            )
+            flat_ref.append(g_ref.ravel())
+            flat_ours.append(g_ours.ravel())
+        a = np.concatenate(flat_ref).astype(np.float64)
+        b = np.concatenate(flat_ours).astype(np.float64)
+        assert np.linalg.norm(a) > 0  # non-vacuous
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 1.0 - 1e-6, cos
