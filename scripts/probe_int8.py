@@ -1,0 +1,138 @@
+"""Probe: can Mosaic on this chip run W8A8 int8 MXU matmuls, and at what
+speedup over bf16?
+
+The v5e datasheet gives the int8 MXU peak as ~2x the bf16 peak (394 TOPS
+vs 197 TFLOP/s). This probe measures whether that is reachable from
+Pallas on this jax build before committing to an int8 variant of the
+fused NeRF kernels (ROADMAP round-3 close-out: dtype is the one remaining
+order-of-magnitude lever).
+
+Three kernels over an L-deep [R, 256] @ [256, 256] relu chain (the fused
+NeRF kernel's trunk shape):
+  bf16:      the current production arithmetic (fp32 accum)
+  int8:      int8 weights+activations, int32 accum, per-layer fp32
+             rescale + relu + requantize to int8 between layers
+  int8_raw:  int8 chain with NO requantize epilogue (pure MXU ceiling)
+
+Usage: python scripts/probe_int8.py [rows] [layers] [reps]
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/nerf_sampling_tpu_jax"),
+    ),
+)
+
+W = 256
+TILE = 2048
+
+
+def _bf16_kernel(L, refs):
+    x_ref, out_ref = refs[0], refs[-1]
+    ws = refs[1:-1]
+    h = x_ref[:].astype(jnp.bfloat16)
+    for i in range(L):
+        z = jnp.dot(h, ws[i][:], preferred_element_type=jnp.float32)
+        h = jax.nn.relu(z).astype(jnp.bfloat16)
+    out_ref[:] = h.astype(jnp.float32)
+
+
+def _int8_kernel(L, requant, refs):
+    x_ref, out_ref = refs[0], refs[-1]
+    ws = refs[1:-1]
+    h = x_ref[:]  # int8 in
+    scale = jnp.float32(0.05)  # stand-in dequant scale
+    inv = jnp.float32(1.0 / 0.05)
+    for i in range(L):
+        z = jnp.dot(h, ws[i][:], preferred_element_type=jnp.int32)
+        if requant:
+            f = jax.nn.relu(z.astype(jnp.float32) * scale)
+            q = jnp.clip(f * inv + 0.5, 0.0, 127.0)
+            h = q.astype(jnp.int8)
+        else:
+            # wrap back to int8 without leaving the int domain
+            h = (z & 0x7F).astype(jnp.int8)
+    out_ref[:] = h.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "mode"))
+def run(x, ws, L, mode):
+    kern = (
+        functools.partial(_bf16_kernel, L)
+        if mode == "bf16"
+        else functools.partial(_int8_kernel, L, mode == "int8")
+    )
+    n = x.shape[0]
+    return pl.pallas_call(
+        kern,
+        grid=(n // TILE,),
+        in_specs=[pl.BlockSpec((TILE, W), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [
+            pl.BlockSpec((W, W), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(L)
+        ],
+        out_specs=pl.BlockSpec((TILE, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, *ws)
+
+
+def main():
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
+    L = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    rng = np.random.default_rng(0)
+    x32 = rng.standard_normal((rows, W)).astype(np.float32)
+    ws32 = [rng.standard_normal((W, W)).astype(np.float32) * 0.05 for _ in range(L)]
+
+    flops = 2.0 * rows * W * W * L
+
+    for mode in ("bf16", "int8_raw", "int8"):
+        if mode == "bf16":
+            x = jnp.asarray(x32, jnp.bfloat16)
+            ws = [jnp.asarray(w, jnp.bfloat16) for w in ws32]
+        else:
+            x = jnp.asarray(np.clip(x32 * 25, -127, 127).astype(np.int8))
+            ws = [
+                jnp.asarray(np.clip(w * 500, -127, 127).astype(np.int8))
+                for w in ws32
+            ]
+        try:
+            out = run(x, ws, L, mode)
+            float(np.asarray(out).ravel()[0])  # sync through the tunnel
+        except Exception as e:  # noqa: BLE001
+            print(f"{mode}: FAILED {type(e).__name__}: {str(e)[:300]}")
+            continue
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run(x, ws, L, mode)
+            float(np.asarray(out).ravel()[0])
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        dt = times[len(times) // 2]
+        print(
+            f"{mode}: {dt * 1e3:.1f} ms median -> {flops / dt / 1e12:.1f} "
+            f"T(fl)op/s issued"
+        )
+
+
+if __name__ == "__main__":
+    main()
