@@ -55,6 +55,15 @@ def render_image_sharded(
         rd = jnp.concatenate(
             [rd, jnp.tile(jnp.array([[0.0, 0.0, -1.0]], rd.dtype), (pad, 1))], 0
         )
+    if jax.process_count() > 1:
+        # On a multi-process mesh a locally-committed device array cannot be
+        # auto-resharded onto non-addressable devices; hand jit host numpy
+        # instead (identical on every process — rays are a pure function of
+        # the camera), which each process shards onto its addressable
+        # devices without communication.
+        import numpy as np
+
+        ro, rd = np.asarray(ro), np.asarray(rd)
     focal = float(K[0][0])
 
     def shard_fn(prm, ro_s, rd_s, k):

@@ -44,6 +44,7 @@ import numpy as np  # noqa: E402
 
 N_RAYS = 64  # global batch
 N_STEPS = 3
+RENDER_HW = 16  # multi-host full-image render size
 
 
 def make_global_batch(p, mesh):
@@ -111,6 +112,40 @@ def build_setup():
     return p, state, mesh, step
 
 
+def render_camera():
+    """A fixed tiny camera every process derives identically."""
+    from nerf_sampling_tpu.data.blender import pose_spherical
+
+    h = w = RENDER_HW
+    focal = 0.5 * w / np.tan(0.35)
+    K = np.array(
+        [[focal, 0, 0.5 * w], [0, focal, 0.5 * h], [0, 0, 1]], np.float32
+    )
+    c2w = np.asarray(pose_spherical(30.0, -30.0, 4.0), np.float32)[:3, :4]
+    return h, w, K, c2w
+
+
+def render_sharded(p, params, mesh):
+    """Full-image render through the production sharded renderer on the
+    (possibly multi-process) global mesh; returns the rgb map as a host
+    numpy array on every process (reference analog: the render path,
+    nerf_utils.py:258-390 — at scale the embarrassingly-parallel half)."""
+    from nerf_sampling_tpu.parallel.render import render_image_sharded
+    from nerf_sampling_tpu.render.engine import EvalMode
+
+    h, w, K, c2w = render_camera()
+    maps = render_image_sharded(
+        p, params, h, w, K, jnp.asarray(c2w), jax.random.PRNGKey(7), mesh,
+        mode=EvalMode.FULL_NERF, chunk=256,
+    )
+    rgb = maps["depth_net_rgb_map"]
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(rgb, tiled=True))
+    return np.asarray(rgb)
+
+
 def main() -> None:
     out_path = sys.argv[1]
 
@@ -122,6 +157,14 @@ def main() -> None:
     p, state, mesh, step = build_setup()
     batch = make_global_batch(p, mesh)
 
+    # multi-host full-image render at the (deterministic, process-identical)
+    # initial params: the ray batch spans both processes' devices. Rendered
+    # BEFORE training so the single-process ground truth can compare
+    # pixels sharply (post-training params differ across cluster vs local
+    # by fp32 all-reduce ordering).
+    rgb = render_sharded(p, state.params, mesh)
+    assert np.isfinite(rgb).all()
+
     losses = []
     for i in range(N_STEPS):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
@@ -129,6 +172,11 @@ def main() -> None:
     checksum = float(
         sum(jnp.sum(jnp.abs(leaf)) for leaf in jax.tree.leaves(state.params))
     )
+
+    # and once more with the TRAINED params (cross-worker agreement +
+    # finiteness; not compared against the local run — see above)
+    rgb_trained = render_sharded(p, state.params, mesh)
+    assert np.isfinite(rgb_trained).all()
 
     with open(out_path, "w") as fp:
         json.dump(
@@ -138,6 +186,10 @@ def main() -> None:
                 "n_devices": len(jax.devices()),
                 "losses": losses,
                 "param_checksum": checksum,
+                "render_rgb": np.asarray(rgb, np.float64).reshape(-1).tolist(),
+                "render_rgb_trained": np.asarray(
+                    rgb_trained, np.float64
+                ).reshape(-1).tolist(),
             },
             fp,
         )

@@ -114,3 +114,21 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     # cross-process Gloo all-reduce may order the 8-shard sum differently
     # than the single-process reduction: allow fp32 reduction slack
     np.testing.assert_allclose(results[0]["losses"], losses, rtol=1e-5)
+
+    # multi-host RENDERING (VERDICT r3 #6): the workers drove the
+    # production render_image_sharded across both processes' devices; at
+    # the deterministic initial params it must match the same render on
+    # this process's single-host mesh pixel-sharp (no collectives in the
+    # render itself — pure SPMD over the ray shards). Both workers must
+    # also agree with each other exactly, at init AND after training.
+    rgb0 = np.asarray(results[0]["render_rgb"])
+    rgb1 = np.asarray(results[1]["render_rgb"])
+    np.testing.assert_array_equal(rgb0, rgb1)
+    np.testing.assert_array_equal(
+        np.asarray(results[0]["render_rgb_trained"]),
+        np.asarray(results[1]["render_rgb_trained"]),
+    )
+    p2, state2, mesh2, _step2 = smoke.build_setup()
+    local_rgb = smoke.render_sharded(p2, state2.params, mesh2).reshape(-1)
+    assert np.isfinite(local_rgb).all()
+    np.testing.assert_allclose(rgb0, local_rgb, rtol=0, atol=1e-6)
