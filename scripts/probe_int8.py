@@ -40,11 +40,11 @@ jax.config.update(
     ),
 )
 
-W = 256
-TILE = 2048
+W = int(os.environ.get("PROBE_W", "256"))
+TILE = int(os.environ.get("PROBE_TILE", "2048"))
 
 
-def _bf16_kernel(L, refs):
+def _bf16_kernel(L, *refs):
     x_ref, out_ref = refs[0], refs[-1]
     ws = refs[1:-1]
     h = x_ref[:].astype(jnp.bfloat16)
@@ -54,7 +54,7 @@ def _bf16_kernel(L, refs):
     out_ref[:] = h.astype(jnp.float32)
 
 
-def _int8_kernel(L, requant, refs):
+def _int8_kernel(L, requant, *refs):
     x_ref, out_ref = refs[0], refs[-1]
     ws = refs[1:-1]
     h = x_ref[:]  # int8 in
@@ -62,10 +62,15 @@ def _int8_kernel(L, requant, refs):
     inv = jnp.float32(1.0 / 0.05)
     for i in range(L):
         z = jnp.dot(h, ws[i][:], preferred_element_type=jnp.int32)
-        if requant:
+        if requant == "fp32":
             f = jax.nn.relu(z.astype(jnp.float32) * scale)
             q = jnp.clip(f * inv + 0.5, 0.0, 127.0)
             h = q.astype(jnp.int8)
+        elif requant == "int":
+            # relu + requantize entirely in the integer domain:
+            # fused scale*inv is a power-of-two-ish multiplier + shift.
+            z = jnp.maximum(z, 0)
+            h = jnp.minimum((z * 3) >> 8, 127).astype(jnp.int8)
         else:
             # wrap back to int8 without leaving the int domain
             h = (z & 0x7F).astype(jnp.int8)
@@ -77,7 +82,11 @@ def run(x, ws, L, mode):
     kern = (
         functools.partial(_bf16_kernel, L)
         if mode == "bf16"
-        else functools.partial(_int8_kernel, L, mode == "int8")
+        else functools.partial(
+            _int8_kernel,
+            L,
+            {"int8": "fp32", "int8_intreq": "int"}.get(mode, "none"),
+        )
     )
     n = x.shape[0]
     return pl.pallas_call(
@@ -104,7 +113,7 @@ def main():
 
     flops = 2.0 * rows * W * W * L
 
-    for mode in ("bf16", "int8_raw", "int8"):
+    for mode in ("bf16", "int8_raw", "int8", "int8_intreq"):
         if mode == "bf16":
             x = jnp.asarray(x32, jnp.bfloat16)
             ws = [jnp.asarray(w, jnp.bfloat16) for w in ws32]
@@ -116,7 +125,10 @@ def main():
             ]
         try:
             out = run(x, ws, L, mode)
-            float(np.asarray(out).ravel()[0])  # sync through the tunnel
+            # Sync on-device; pull back only one element (the full [rows, W]
+            # fp32 array is ~1 GB and would dominate timing over the tunnel).
+            finite = bool(np.isfinite(float(jnp.ravel(out)[0])))
+            print(f"{mode}: warm, first-elem finite={finite}")
         except Exception as e:  # noqa: BLE001
             print(f"{mode}: FAILED {type(e).__name__}: {str(e)[:300]}")
             continue
@@ -124,7 +136,7 @@ def main():
         for _ in range(reps):
             t0 = time.perf_counter()
             out = run(x, ws, L, mode)
-            float(np.asarray(out).ravel()[0])
+            jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
         times.sort()
         dt = times[len(times) // 2]
