@@ -71,6 +71,33 @@ def _int8_kernel(L, requant, *refs):
             # fused scale*inv is a power-of-two-ish multiplier + shift.
             z = jnp.maximum(z, 0)
             h = jnp.minimum((z * 3) >> 8, 127).astype(jnp.int8)
+        elif requant == "int_pc":
+            # the production integer epilogue: per-channel multiplier rows
+            # (bias folded pre-shift), built from iota so Mosaic cannot
+            # fold them to scalar splats.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+            bz = lane * 3 + 100
+            m = (lane & 63) + 64  # [64, 127]
+            t = (z + bz) >> 8
+            h = jnp.clip((t * m) >> 7, 0, 127).astype(jnp.int8)
+        elif requant == "bias_scalar":
+            # production candidate: per-channel int32 bias add (weights
+            # absorb the per-channel scales), then SCALAR multiplier+shift
+            # requant. relu = the clip-at-0.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+            bz = lane * 3 + 100
+            t = jnp.maximum(z + bz, 0) >> 8
+            h = jnp.minimum((t * 77) >> 6, 127).astype(jnp.int8)
+        elif requant == "fp32min":
+            # minimal per-channel fp32 epilogue: one convert + fma + clip
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(
+                jnp.float32
+            )
+            Mf = 0.001 + 1e-6 * lane
+            Bf = 0.5 + 1e-4 * lane
+            h = jnp.clip(z.astype(jnp.float32) * Mf + Bf, 0.0, 127.0).astype(
+                jnp.int8
+            )
         else:
             # wrap back to int8 without leaving the int domain
             h = (z & 0x7F).astype(jnp.int8)
@@ -85,7 +112,13 @@ def run(x, ws, L, mode):
         else functools.partial(
             _int8_kernel,
             L,
-            {"int8": "fp32", "int8_intreq": "int"}.get(mode, "none"),
+            {
+                "int8": "fp32",
+                "int8_intreq": "int",
+                "int8_intpc": "int_pc",
+                "int8_biassc": "bias_scalar",
+                "int8_fp32min": "fp32min",
+            }.get(mode, "none"),
         )
     )
     n = x.shape[0]
@@ -113,7 +146,9 @@ def main():
 
     flops = 2.0 * rows * W * W * L
 
-    for mode in ("bf16", "int8_raw", "int8", "int8_intreq"):
+    modes = ("bf16", "int8_raw", "int8", "int8_intreq", "int8_intpc",
+             "int8_fp32min")
+    for mode in (sys.argv[4].split(",") if len(sys.argv) > 4 else modes):
         if mode == "bf16":
             x = jnp.asarray(x32, jnp.bfloat16)
             ws = [jnp.asarray(w, jnp.bfloat16) for w in ws32]
