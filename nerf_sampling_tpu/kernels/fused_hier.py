@@ -50,6 +50,7 @@ from nerf_sampling_tpu.kernels.fused_render import (
     _RAYS_PER_TILE,
     TPU_VMEM_LIMIT,
     _mlp_plane_loop,
+    _pack_flat,
     _pack_rays,
 )
 from nerf_sampling_tpu.models.nerf import NeRFConfig
@@ -115,6 +116,7 @@ def _kernel(
     refs,
     scratch,
     raw_base=0,
+    quant=None,
 ):
     if stochastic:
         rays_ref, seed_ref, F_ref, P_ref = refs[0], refs[1], refs[2], refs[3]
@@ -131,8 +133,10 @@ def _kernel(
     R = rays_ref.shape[0]
     Sc, Nf = n_coarse, n_importance
     Su = Sc + Nf
-    w_c = ops.unpack_wrefs(cfg_c, wrefs_c)
-    w_f = ops.unpack_wrefs(cfg_f, wrefs_f)
+    w_c = ops.unpack_wrefs(cfg_c, wrefs_c,
+                           quant=quant[0] if quant else None)
+    w_f = ops.unpack_wrefs(cfg_f, wrefs_f,
+                           quant=quant[1] if quant else None)
     F, P = F_ref[:], P_ref[:]
 
     rays = rays_ref[:]  # [R, 8]: o(3) | d(3) | pad(2)
@@ -222,17 +226,17 @@ def _kernel(
     static_argnames=(
         "cfg_c", "cfg_f", "dtype", "n_coarse", "n_importance", "near", "far",
         "white_bkgd", "lindisp", "stochastic", "tile", "interpret", "n_cw",
-        "raw_base",
+        "raw_base", "quant",
     ),
 )
 def _call(rays, seed, F, P, packed_c, packed_f, cfg_c, cfg_f, dtype, n_coarse,
           n_importance, near, far, white_bkgd, lindisp, stochastic, tile,
-          interpret, n_cw, raw_base=0):
+          interpret, n_cw, raw_base=0, quant=None):
     def kern(*refs_and_scratch):
         refs, scratch = refs_and_scratch[:-7], refs_and_scratch[-7:]
         _kernel(cfg_c, cfg_f, dtype, n_coarse, n_importance, near, far,
                 white_bkgd, lindisp, stochastic, n_cw, refs, scratch,
-                raw_base=raw_base)
+                raw_base=raw_base, quant=quant)
 
     in_arrays = [rays]
     in_specs = [
@@ -291,6 +295,7 @@ def fused_render_hier(
     dtype=jnp.bfloat16,
     tile: int = _RAYS_PER_TILE,
     interpret: bool = False,
+    quant=None,
 ) -> dict[str, jnp.ndarray]:
     """Hierarchical render of N rays in one fused kernel.
 
@@ -327,23 +332,17 @@ def fused_render_hier(
         else jnp.zeros((1,), jnp.int32)
     )
     F, P = _pe_matrices(multires, multires_views)
-    packed_c = tuple(
-        _flatten_packed(
-            pack_nerf_params(coarse_params, coarse_cfg, multires,
-                             multires_views, dtype, stuff_raw=True)
-        )
-    )
-    packed_f = tuple(
-        _flatten_packed(
-            pack_nerf_params(fine_params, fine_cfg, multires,
-                             multires_views, dtype, stuff_raw=True)
-        )
-    )
+    if quant is not None and not isinstance(quant, tuple):
+        quant = (quant, quant)  # shared calib for tied coarse/fine params
+    packed_c = _pack_flat(coarse_params, coarse_cfg, multires, multires_views,
+                          dtype, quant[0] if quant else None)
+    packed_f = _pack_flat(fine_params, fine_cfg, multires, multires_views,
+                          dtype, quant[1] if quant else None)
     out = _call(
         rays, seed_arr, F, P, packed_c, packed_f, coarse_cfg, fine_cfg, dtype,
         n_coarse, n_importance, float(near), float(far), bool(white_bkgd),
         bool(lindisp), seed is not None, tile, interpret, len(packed_c),
-        raw_base=_raw_base(multires, multires_views),
+        raw_base=_raw_base(multires, multires_views), quant=quant,
     )[:, :n]
     return {
         "rgb_map": out[0:3].T,

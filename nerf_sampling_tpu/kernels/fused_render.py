@@ -71,6 +71,32 @@ MAX_FUSED_SAMPLES = _MAX_SAMPLES
 TPU_VMEM_LIMIT = 100 * 1024 * 1024
 
 
+def _pack_flat(params, cfg, multires, multires_views, dtype, quant):
+    """Flat weight tuple for pallas_call: bf16 layout, or the int8 layout
+    when ``quant`` (a kernels.quant.QuantCalib) is given."""
+    if quant is not None:
+        from nerf_sampling_tpu.kernels.quant import (
+            flatten_qpacked,
+            qpack_nerf_params,
+        )
+
+        return tuple(
+            flatten_qpacked(
+                qpack_nerf_params(
+                    params, cfg, quant, multires, multires_views, dtype,
+                    stuff_raw=True,
+                )
+            )
+        )
+    return tuple(
+        _flatten_packed(
+            pack_nerf_params(
+                params, cfg, multires, multires_views, dtype, stuff_raw=True
+            )
+        )
+    )
+
+
 def _mlp_plane_loop(
     cfg, dtype, S, R, z_read, o, d, viewdirs, F, P, w, scratch, heads="full",
     chunk_rows=None, z_step=None, pe_provider_fn=None, raw_base=0,
@@ -189,6 +215,7 @@ def _kernel(
     pe_rotation=None,
     z_offsets=None,
     raw_base=0,
+    quant=None,
 ):
     """z_source: "linspace" | "around_center" (static offsets input) |
     "input" (pre-transposed [S, N] z-values input) | "gaussian"
@@ -213,7 +240,7 @@ def _kernel(
     acc = jnp.float32
     R = rays_ref.shape[0]
     S = n_samples
-    w = ops.unpack_wrefs(cfg, wrefs)
+    w = ops.unpack_wrefs(cfg, wrefs, quant=quant)
     F, P = F_ref[:], P_ref[:]
 
     rays = rays_ref[:]  # [R, 8]: o(3) | d(3) | z_center(1) | std-or-pad(1)
@@ -322,19 +349,19 @@ def _kernel(
     static_argnames=(
         "cfg", "dtype", "n_samples", "near", "far", "white_bkgd", "tile",
         "interpret", "z_source", "lindisp", "chunk_rows",
-        "pe_rotation", "z_offsets", "raw_base",
+        "pe_rotation", "z_offsets", "raw_base", "quant",
     ),
 )
 def _call(rays, z_arg, F, P, packed_flat, cfg, dtype, n_samples, near, far,
           white_bkgd, tile, interpret, z_source="linspace", lindisp=False,
           chunk_rows=None, pe_rotation=None, z_offsets=None,
-          raw_base=0):
+          raw_base=0, quant=None):
     def kern(*refs_and_scratch):
         refs, scratch = refs_and_scratch[:-5], refs_and_scratch[-5:]
         _kernel(cfg, dtype, n_samples, near, far, white_bkgd, z_source,
                 lindisp, refs, scratch, chunk_rows=chunk_rows,
                 pe_rotation=pe_rotation, z_offsets=z_offsets,
-                raw_base=raw_base)
+                raw_base=raw_base, quant=quant)
 
     in_arrays = [rays]
     in_specs = [pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -435,6 +462,7 @@ def fused_render(
     interpret: bool = False,
     chunk_rows: int | None = None,
     pe_rotation: bool | None = None,
+    quant=None,
 ) -> dict[str, jnp.ndarray]:
     """Deterministic-eval render of N rays in one fused kernel.
 
@@ -449,15 +477,13 @@ def fused_render(
         tile = _default_tile(n_samples)
     rays, n = _pack_rays(rays_o, rays_d, tile)
     F, P = _pe_matrices(multires, multires_views)
-    packed_flat = tuple(
-        _flatten_packed(pack_nerf_params(
-            params, cfg, multires, multires_views, dtype, stuff_raw=True))
-    )
+    packed_flat = _pack_flat(params, cfg, multires, multires_views, dtype,
+                             quant)
     out = _call(
         rays, None, F, P, packed_flat, cfg, dtype, n_samples, float(near),
         float(far), bool(white_bkgd), tile, interpret, lindisp=bool(lindisp),
         chunk_rows=chunk_rows, pe_rotation=pe_rotation,
-        raw_base=_raw_base(multires, multires_views),
+        raw_base=_raw_base(multires, multires_views), quant=quant,
     )[:, :n]
     return _maps_from_rows(out)
 
@@ -494,6 +520,7 @@ def fused_render_around_depth(
     tile: int | None = None,
     interpret: bool = False,
     pe_rotation: bool | None = None,
+    quant=None,
 ) -> dict[str, jnp.ndarray]:
     """DepthNet populate-and-shade in one fused kernel (uniform mode).
 
@@ -516,16 +543,14 @@ def fused_render_around_depth(
     offsets = jnp.asarray(uniform_population_offsets(n_samples, std))
     unit = uniform_population_offsets(n_samples, 1.0)
     F, P = _pe_matrices(multires, multires_views)
-    packed_flat = tuple(
-        _flatten_packed(pack_nerf_params(
-            params, cfg, multires, multires_views, dtype, stuff_raw=True))
-    )
+    packed_flat = _pack_flat(params, cfg, multires, multires_views, dtype,
+                             quant)
     out = _call(
         rays, offsets, F, P, packed_flat, cfg, dtype, offsets.shape[0],
         float(clip_near), float(clip_far), bool(white_bkgd), tile, interpret,
         z_source="around_center", pe_rotation=pe_rotation,
         z_offsets=tuple(float(v) for v in unit.reshape(-1)),
-        raw_base=_raw_base(multires, multires_views),
+        raw_base=_raw_base(multires, multires_views), quant=quant,
     )[:, :n]
     return _maps_from_rows(out)
 
@@ -546,6 +571,7 @@ def fused_render_gaussian(
     dtype=jnp.bfloat16,
     tile: int | None = None,
     interpret: bool = False,
+    quant=None,
 ) -> dict[str, jnp.ndarray]:
     """DepthNet gaussian populate-and-shade, PRNG and all in one kernel.
 
@@ -573,15 +599,13 @@ def fused_render_gaussian(
     rays, n = _pack_rays(rays_o, rays_d, tile, center=depth, aux7=std)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     F, P = _pe_matrices(multires, multires_views)
-    packed_flat = tuple(
-        _flatten_packed(pack_nerf_params(
-            params, cfg, multires, multires_views, dtype, stuff_raw=True))
-    )
+    packed_flat = _pack_flat(params, cfg, multires, multires_views, dtype,
+                             quant)
     out = _call(
         rays, seed_arr, F, P, packed_flat, cfg, dtype, n_samples,
         2.0, 6.0, bool(white_bkgd), tile, interpret,
         z_source="gaussian",
-        raw_base=_raw_base(multires, multires_views),
+        raw_base=_raw_base(multires, multires_views), quant=quant,
     )[:, :n]
     return _maps_from_rows(out)
 
@@ -600,6 +624,7 @@ def fused_shade(
     tile: int | None = None,
     interpret: bool = False,
     assume_sorted: bool = True,
+    quant=None,
 ) -> dict[str, jnp.ndarray]:
     """Shade externally-computed z values in the fused kernel.
 
@@ -623,14 +648,12 @@ def fused_shade(
         )
 
     F, P = _pe_matrices(multires, multires_views)
-    packed_flat = tuple(
-        _flatten_packed(pack_nerf_params(
-            params, cfg, multires, multires_views, dtype, stuff_raw=True))
-    )
+    packed_flat = _pack_flat(params, cfg, multires, multires_views, dtype,
+                             quant)
     out = _call(
         rays, z_t, F, P, packed_flat, cfg, dtype, S, 2.0, 6.0,
         bool(white_bkgd), tile, interpret,
         z_source="input" if assume_sorted else "input_unsorted",
-        raw_base=_raw_base(multires, multires_views),
+        raw_base=_raw_base(multires, multires_views), quant=quant,
     )[:, :n]
     return _maps_from_rows(out)

@@ -263,6 +263,11 @@ def mlp_forward_affine(
 
     S = pe_S if pe_S is not None else pe_sin_chunk(consts, zc, dtype, raw_base)
 
+    if "qplan" in w:  # int8 weight set (kernels.quant.unpack_qwrefs)
+        from nerf_sampling_tpu.kernels.quant import mlp_forward_affine_q
+
+        return mlp_forward_affine_q(cfg, dtype, S, w, heads=heads)
+
     h = None
     for i in range(cfg.D):
         if i == 0:
@@ -296,12 +301,18 @@ def mlp_forward_affine(
     )
 
 
-def unpack_wrefs(cfg: NeRFConfig, wrefs) -> dict:
+def unpack_wrefs(cfg: NeRFConfig, wrefs, quant=None) -> dict:
     """Name the flat packed-weight ref sequence (fused_nerf._flatten_packed).
 
     Returns refs, not values — callers ``[:]``-read only what they use
     (e.g. the sigma-only head skips the views branch entirely).
+    With ``quant`` (a kernels.quant.QuantCalib) the sequence is the int8
+    layout (kernels.quant.flatten_qpacked) instead.
     """
+    if quant is not None:
+        from nerf_sampling_tpu.kernels.quant import unpack_qwrefs
+
+        return unpack_qwrefs(cfg, wrefs, quant)
     it = iter(wrefs)
     d: dict = {}
     d["w0x"], d["w0s"] = next(it), next(it)
