@@ -49,9 +49,12 @@ from nerf_sampling_tpu.utils.config import load_trainer_config, override_config
               help="Use temporary folder for experiment.")
 @click.option("-ip", "--i_print", default=1000, show_default=True)
 @click.option("--basedir", default=None, help="Override output dir.")
-@click.option("--mlp_impl", type=click.Choice(["xla", "pallas"]), default="pallas",
-              show_default=True,
-              help="pallas: fused bf16 kernels (PSNR parity validated).")
+@click.option("--mlp_impl",
+              type=click.Choice(["xla", "pallas", "pallas_int8"]),
+              default="pallas", show_default=True,
+              help="pallas: fused bf16 kernels (PSNR parity validated); "
+                   "pallas_int8: W8A8 eval kernels (auto-calibrated on the "
+                   "loaded checkpoint; see RESULTS.md for the PSNR delta).")
 @click.option("--testskip", default=None, type=int,
               help="Load every Nth test/val image (reference --testskip).")
 @click.option("--ft_path", "ft_path_opt", default=None,

@@ -70,9 +70,11 @@ from nerf_sampling_tpu.utils.config import (
 @click.option("--precision", "matmul_precision",
               type=click.Choice(["highest", "high", "default"]), default="highest",
               show_default=True, help="XLA matmul precision (default=bf16 MXU).")
-@click.option("--mlp_impl", type=click.Choice(["xla", "pallas"]), default="xla",
-              show_default=True,
-              help="pallas: fused-kernel hierarchical pass (depth_net mode).")
+@click.option("--mlp_impl",
+              type=click.Choice(["xla", "pallas", "pallas_int8"]),
+              default="xla", show_default=True,
+              help="pallas: fused-kernel hierarchical pass (depth_net mode); "
+                   "pallas_int8: W8A8 frozen-NeRF oracle + eval renders.")
 @click.option("--ft_path", "ft_path_opt", default=None,
               help="Explicit NeRF checkpoint (.tar or .npz) to load.")
 @click.option("--testskip", default=None, type=int,

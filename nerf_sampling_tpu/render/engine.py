@@ -41,6 +41,10 @@ from nerf_sampling_tpu.models.depth_net import DepthNetConfig, depth_net_apply
 from nerf_sampling_tpu.models.nerf import NeRFConfig, nerf_apply
 
 
+# mlp_impl values that route eligible work onto the fused Pallas kernels
+PALLAS_IMPLS = ("pallas", "pallas_int8")
+
+
 class EvalMode(enum.Enum):
     """Test-time rendering modes (reference render_rays_test, nerf_utils.py:788-865)."""
 
@@ -108,9 +112,20 @@ class Pipeline:
     # trains the depth head on foreground geometry only.
     bg_depth_loss_weight: float = 1.0
     # MLP execution backend: "xla" (fp32 HIGHEST, differentiable — training
-    # and parity) or "pallas" (fused bf16 VMEM-resident kernel, eval only;
-    # ~4.3x the fp32 path on v5e). The pallas path has no VJP.
+    # and parity), "pallas" (fused bf16 VMEM-resident kernel, eval only;
+    # ~4.3x the fp32 path on v5e), or "pallas_int8" (the W8A8 variant of
+    # the fused EVAL kernels — kernels.quant; measured ~1.15x the bf16
+    # trunk on v5e). The fused eval paths have no VJP; under "pallas_int8"
+    # the DIFFERENTIABLE query (training) stays on the bf16 custom-VJP
+    # kernel — int8 applies to eval renders and no-gradient passes (the
+    # depth-train frozen-NeRF oracle).
     mlp_impl: str = "xla"
+    # Static calibration for "pallas_int8": a kernels.quant.QuantCalib, or
+    # a (coarse, fine) pair of them. Produce with
+    # render.quantize.calibrate_pipeline (scene-level) or
+    # kernels.quant.calibrate_nerf_quant (raw rays). Tied to the
+    # calibrated checkpoint.
+    quant_calib: Any = None
     # Max points per XLA MLP evaluation (reference netchunk,
     # nerf_utils.py:926-929): bounds the [M, 90] embedding + [M, 256]
     # activation footprint via an in-jit lax.map. The pallas kernel needs no
@@ -184,7 +199,7 @@ def query_nerf(
     keep the default True.
     """
     if (
-        pipeline.mlp_impl == "pallas"
+        pipeline.mlp_impl in PALLAS_IMPLS
         and cfg.use_viewdirs
         and viewdirs is not None
         and pipeline.i_embed != -1
@@ -470,7 +485,7 @@ def render_rays_eval(
     Eval uses perturb=0 and raw_noise_std=0 (reference create_nerf
     render_kwargs_test, nerf_utils.py:490-492).
     """
-    if mode == EvalMode.COMPARE_NERF and pipeline.mlp_impl == "pallas":
+    if mode == EvalMode.COMPARE_NERF and pipeline.mlp_impl in PALLAS_IMPLS:
         # COMPARE is the parity-diagnostic mode. The fused fast path runs
         # it on fp32 kernels (_fused_fast_paths); when a config falls back
         # HERE, keep the same precision contract by using the fp32 XLA
@@ -514,7 +529,7 @@ def render_rays_eval(
 
     # DEPTH_NET (default) and the depth-net half of COMPARE_NERF (:837-865).
     k_pop, _ = jax.random.split(key)
-    if pipeline.mlp_impl == "pallas":
+    if pipeline.mlp_impl in PALLAS_IMPLS:
         from nerf_sampling_tpu.kernels import fused_depth_net_apply
 
         depth_mean = fused_depth_net_apply(
@@ -558,6 +573,27 @@ def _pad_to_multiple(x: jnp.ndarray, m: int) -> jnp.ndarray:
     if pad == 0:
         return x
     return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+
+
+def _quant_pair(pipeline: Pipeline, params: NeRFParams):
+    """(coarse, fine) QuantCalibs for mlp_impl="pallas_int8", else Nones.
+
+    A single pipeline.quant_calib applies to both models; with tied
+    params (params.fine is None) the fine slot reuses the coarse calib.
+    """
+    if pipeline.mlp_impl != "pallas_int8":
+        return None, None
+    q = pipeline.quant_calib
+    if q is None:
+        raise ValueError(
+            "mlp_impl='pallas_int8' needs pipeline.quant_calib — calibrate "
+            "the checkpoint first (render.quantize.calibrate_pipeline or "
+            "kernels.quant.calibrate_nerf_quant)"
+        )
+    qc, qf = q if isinstance(q, tuple) else (q, q)
+    if params.fine is None:
+        qf = qc
+    return qc, qf
 
 
 def _fused_fast_paths(
@@ -615,6 +651,12 @@ def _fused_fast_paths(
     # the 3e-4 class instead of carrying bf16 depth/argmax noise. The
     # production modes (DEPTH_NET/FULL_NERF/NERF_MAX) keep bf16 speed.
     kdtype = jnp.float32 if mode == EvalMode.COMPARE_NERF else jnp.bfloat16
+    # COMPARE's fp32 diagnostic contract excludes int8 too
+    qc, qf = (
+        (None, None)
+        if mode == EvalMode.COMPARE_NERF
+        else _quant_pair(p, params)
+    )
     common = dict(
         white_bkgd=p.white_bkgd,
         multires=p.multires,
@@ -650,6 +692,7 @@ def _fused_fast_paths(
             near=p.near,
             far=p.far,
             lindisp=p.lindisp,
+            quant=(qc, qf) if qc is not None else None,
             **common,
         )
         if mode == EvalMode.FULL_NERF:
@@ -684,6 +727,7 @@ def _fused_fast_paths(
             near=p.near,
             far=p.far,
             lindisp=p.lindisp,
+            quant=qc,
             **common,
         )
         return map_outputs(maps)
@@ -730,6 +774,7 @@ def _fused_fast_paths(
             depth,
             n_samples=p.n_depth_samples,
             std=p.distance,
+            quant=qf,
             **common,
         )
     elif interpret:  # gaussian on CPU: XLA draws (no PRNG lowering), kernel shades
@@ -742,7 +787,8 @@ def _fused_fast_paths(
             std=p.distance,
             key=key,
         )
-        maps = fused_shade(nerf_params, nerf_cfg, ro_flat, rd_flat, z_vals, **common)
+        maps = fused_shade(nerf_params, nerf_cfg, ro_flat, rd_flat, z_vals,
+                           quant=qf, **common)
     else:  # gaussian on TPU: PRNG draw + order-free compositing in-kernel
         seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
         maps = fused_render_gaussian(
@@ -754,6 +800,7 @@ def _fused_fast_paths(
             seed,
             n_samples=p.n_depth_samples,
             std=p.distance,
+            quant=qf,
             **common,
         )
     return map_outputs(maps)
@@ -788,7 +835,7 @@ def render_flat_rays(
     """
     fast_ok = (
         not full_outputs
-        and pipeline.mlp_impl == "pallas"
+        and pipeline.mlp_impl in PALLAS_IMPLS
         and pipeline.use_viewdirs
         and not pipeline.ndc
         and pipeline.i_embed != -1

@@ -46,7 +46,7 @@ def _can_use_hier_oracle(p: Pipeline) -> bool:
     from nerf_sampling_tpu.kernels.fused_render import MAX_FUSED_SAMPLES
 
     return (
-        p.mlp_impl == "pallas"
+        p.mlp_impl in ("pallas", "pallas_int8")
         and p.use_viewdirs
         and not p.ndc
         and p.i_embed != -1
@@ -130,11 +130,15 @@ def make_depth_net_train_step(
             # + argmax :689-691) carries no gradient w.r.t. depth params, so
             # it runs as ONE fused Pallas kernel — stratified jitter and CDF
             # randoms drawn on-core. Only the single depth-point query stays
-            # on the differentiable XLA path below.
+            # on the differentiable XLA path below. With mlp_impl=
+            # "pallas_int8" this no-gradient pass is exactly where the W8A8
+            # kernels apply first (lowest numerics risk, ~98% of step FLOPs).
             from nerf_sampling_tpu.kernels.fused_hier import fused_render_hier
+            from nerf_sampling_tpu.render.engine import _quant_pair
 
             k_seed, k_noise = jax.random.split(key)
             p = pipeline
+            qc, qf = _quant_pair(p, nerf_params)
             hm = fused_render_hier(
                 nerf_params.coarse,
                 p.nerf,
@@ -151,6 +155,7 @@ def make_depth_net_train_step(
                 multires=p.multires,
                 multires_views=p.multires_views,
                 seed=jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32),
+                quant=(qc, qf) if qc is not None else None,
             )
             max_z = jax.lax.stop_gradient(hm["max_z"].reshape(-1, 1))
             hier_acc = jax.lax.stop_gradient(hm["acc_map"].reshape(-1, 1))

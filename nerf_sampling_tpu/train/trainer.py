@@ -218,6 +218,13 @@ class Trainer:
                     self._resume_ckpt_path = path
 
         self.params = params
+        if self.pipeline.mlp_impl == "pallas_int8" and self.scene is not None:
+            # int8 eval kernels need a per-checkpoint calibration; the
+            # frozen NeRF just restored is exactly what the depth-train
+            # oracle / eval renders will query
+            from nerf_sampling_tpu.render.quantize import calibrate_pipeline
+
+            self.pipeline = calibrate_pipeline(self.pipeline, params, self.scene)
         if cfg.train_mode == "depth_net":
             self.start = depth_start if depth_start is not None else 0
         else:

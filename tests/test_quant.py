@@ -153,3 +153,74 @@ class TestQuantRender:
         # coarse grid spacing for most rays
         dz = np.abs(np.asarray(got_q["max_z"]) - np.asarray(got_b["max_z"]))
         assert float(np.median(dz)) < (6.0 - 2.0) / 12, float(np.median(dz))
+
+
+class TestEngineInt8:
+    def _setup(self):
+        import dataclasses
+
+        from nerf_sampling_tpu.render import EvalMode, render_flat_rays
+        from nerf_sampling_tpu.render.quantize import calibrate_pipeline
+
+        from tests.test_render_engine import (
+            sphere_hitting_rays,
+            tiny_params,
+            tiny_pipeline,
+        )
+
+        pipe_bf = tiny_pipeline(mlp_impl="pallas")
+        params = tiny_params(pipe_bf)
+        rays = sphere_hitting_rays(pipe_bf, n=40)
+        ro, rd = rays.rays_o, rays.rays_d
+
+        class _Scene:  # minimal SceneData surface for calibrate_pipeline
+            hwf = (8, 8, 10.0)
+            K = None
+            i_train = np.array([0])
+            poses = np.broadcast_to(np.eye(4, dtype=np.float32), (1, 4, 4))
+
+        pipe_q = calibrate_pipeline(
+            dataclasses.replace(pipe_bf, mlp_impl="pallas_int8"),
+            params,
+            _Scene(),
+        )
+        assert pipe_q.quant_calib is not None
+        return pipe_bf, pipe_q, params, ro, rd, render_flat_rays, EvalMode
+
+    def test_eval_modes_match_bf16(self):
+        pipe_bf, pipe_q, params, ro, rd, render_flat_rays, EvalMode = (
+            self._setup()
+        )
+        key = jax.random.PRNGKey(0)
+        for mode in (EvalMode.DEPTH_NET, EvalMode.FULL_NERF):
+            out_q = render_flat_rays(pipe_q, params, ro, rd, key, mode=mode)
+            out_b = render_flat_rays(pipe_bf, params, ro, rd, key, mode=mode)
+            err = np.abs(
+                np.asarray(out_q["depth_net_rgb_map"])
+                - np.asarray(out_b["depth_net_rgb_map"])
+            )
+            assert np.isfinite(np.asarray(out_q["depth_net_rgb_map"])).all()
+            assert float(err.mean()) < 0.05, (mode, float(err.mean()))
+
+    def test_missing_calib_raises(self):
+        import dataclasses
+
+        import pytest
+
+        from nerf_sampling_tpu.render import EvalMode, render_flat_rays
+
+        from tests.test_render_engine import (
+            sphere_hitting_rays,
+            tiny_params,
+            tiny_pipeline,
+        )
+
+        pipe = tiny_pipeline(mlp_impl="pallas_int8")
+        params = tiny_params(pipe)
+        rays = sphere_hitting_rays(pipe, n=8)
+        ro, rd = rays.rays_o, rays.rays_d
+        with pytest.raises(ValueError, match="quant_calib"):
+            render_flat_rays(
+                pipe, params, ro, rd, jax.random.PRNGKey(0),
+                mode=EvalMode.FULL_NERF,
+            )
