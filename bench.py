@@ -147,11 +147,11 @@ def _measure_torch_baseline() -> float:
     return rays_per_sec
 
 
-def _measure_tpu() -> float:
+def _enable_cache() -> None:
+    """Persistent compilation cache: a retried run must not pay the remote
+    AOT compile (minutes on the axon backend) a second time."""
     import jax
 
-    # Persistent compilation cache: a retried run must not pay the remote
-    # AOT compile (minutes on the axon backend) a second time.
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
@@ -163,6 +163,42 @@ def _measure_tpu() -> float:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception as e:  # pragma: no cover
         print(f"[bench] compilation cache unavailable: {e}", file=sys.stderr)
+
+
+def _timed_median(run_once, label: str, reps: int = 5, rounds: int = 3) -> float:
+    """Median-of-reps timing with bad-window rejection (see module doc).
+
+    run_once(i) must block until the device work is done (one-element
+    readback — block_until_ready can return at enqueue on this backend).
+    Returns the best accepted round's median seconds.
+    """
+    best_dt = None
+    for round_i in range(rounds):
+        times = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            run_once(round_i * reps + i)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        dt = times[len(times) // 2]
+        spread = times[-1] / max(times[0], 1e-9)
+        print(
+            f"[bench] {label} round {round_i} per-rep times (s): "
+            f"{[round(t, 3) for t in times]} (median {dt:.3f}, spread {spread:.2f}x)",
+            file=sys.stderr,
+        )
+        if best_dt is None or dt < best_dt:
+            best_dt = dt
+        if spread < 2.0:
+            break
+        print("[bench] unstable round (spread >= 2x); re-measuring", file=sys.stderr)
+    return best_dt
+
+
+def _measure_tpu() -> float:
+    import jax
+
+    _enable_cache()
 
     import numpy as np
 
@@ -254,32 +290,163 @@ def _measure_tpu() -> float:
     # vs the true ~0.35 s right after another process released the chip),
     # so rounds whose reps disagree by >2x are rejected and re-measured,
     # and the best round's median is reported (up to 3 rounds).
-    reps = 5
-    best_dt = None
-    for round_i in range(3):
-        times = []
-        for i in range(reps):
-            t0 = time.perf_counter()
-            out = render(params, jax.random.fold_in(key, round_i * reps + i))
-            sync(out)
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        dt = times[len(times) // 2]
-        spread = times[-1] / max(times[0], 1e-9)
-        print(
-            f"[bench] round {round_i} per-rep times (s): "
-            f"{[round(t, 3) for t in times]} (median {dt:.3f}, spread {spread:.2f}x)",
-            file=sys.stderr,
-        )
-        if best_dt is None or dt < best_dt:
-            best_dt = dt
-        if spread < 2.0:
-            break
-        print("[bench] unstable round (spread >= 2x); re-measuring", file=sys.stderr)
+    best_dt = _timed_median(
+        lambda i: sync(render(params, jax.random.fold_in(key, i))), "headline"
+    )
     return H * W / best_dt
 
 
-def _measure_tpu_with_retries() -> float:
+PROD_CKPT = os.path.join(_DIR, "evidence", "ckpt", "example_depth.npz")
+PROD_EXPECTED = os.path.join(_DIR, "evidence", "ckpt", "expected.json")
+
+
+def production_render_setup(ckpt_path: str, mlp_impl: str = "pallas") -> dict:
+    """Build the PRODUCTION render (reference nerf_utils.py:837-849): the
+    trained DepthNet's one query + uniform/64 populate on the trained NeRF,
+    test view 0 of the example scene at 400^2 — the recipe's headline cell
+    (RESULTS.md: 30.84 dB vs 30.91 for the full 256-query hierarchical).
+
+    Loads the committed params-only fp16 checkpoint (cast back to fp32),
+    regenerates the procedural dataset if needed, and returns everything
+    psnr_of_render / the timing loop use. mlp_impl="pallas_int8" runs the
+    W8A8 eval kernels (calibrated here on the loaded checkpoint).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _enable_cache()
+
+    from nerf_sampling_tpu.data.blender import load_blender_data
+    from nerf_sampling_tpu.definitions import ROOT_DIR
+    from nerf_sampling_tpu.models import depth_net_init, nerf_init
+    from nerf_sampling_tpu.render import EvalMode, NeRFParams, render_image
+    from nerf_sampling_tpu.train import checkpoint as ckpt_lib
+    from nerf_sampling_tpu.utils.config import load_trainer_config
+
+    datadir = f"{ROOT_DIR}/dataset/example"
+    if not os.path.exists(datadir):
+        from nerf_sampling_tpu.data.example import generate_example_dataset
+
+        generate_example_dataset(datadir, H=800, W=800)
+    scene = load_blender_data(datadir, half_res=True, testskip=1)
+    scene.composite_white_background()
+
+    cfg = load_trainer_config(
+        f"{ROOT_DIR}/experiments/configs/lego.yaml",
+        "recommended_depth_net_module",
+    )
+    pipeline = dataclasses.replace(
+        cfg.pipeline(with_depth=True),
+        n_depth_samples=64,
+        sampling_mode="uniform",
+        distance=1.0,
+        mlp_impl=mlp_impl,
+    )
+
+    k = jax.random.PRNGKey(0)
+    template = NeRFParams(
+        coarse=nerf_init(k, pipeline.nerf),
+        fine=nerf_init(k, pipeline.fine),
+        depth=depth_net_init(k, pipeline.depth),
+    )
+    tree, _ = ckpt_lib.load_checkpoint(ckpt_path, {"params": template})
+    # committed storage is fp16; compute wants fp32 (kernels cast to bf16)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float32), tree["params"]
+    )
+    if mlp_impl == "pallas_int8":
+        from nerf_sampling_tpu.render.quantize import calibrate_pipeline
+
+        pipeline = calibrate_pipeline(pipeline, params, scene)
+
+    Hs, Ws, focal = scene.hwf
+    Hs, Ws = int(Hs), int(Ws)
+    K = np.array(
+        [[focal, 0, Ws / 2], [0, focal, Hs / 2], [0, 0, 1.0]], np.float32
+    )
+    view = int(scene.i_test[0])
+    c2w = np.asarray(scene.poses[view][:3, :4], np.float32)
+    gt = np.asarray(scene.images[view], np.float32)
+
+    import functools
+
+    render = jax.jit(
+        functools.partial(
+            render_image, pipeline, H=Hs, W=Ws, K=K, c2w=c2w,
+            mode=EvalMode.DEPTH_NET, chunk=CHUNK,
+        )
+    )
+    return {
+        "render": render,
+        "params": params,
+        "gt": gt,
+        "n_rays": Hs * Ws,
+        "mlp_impl": mlp_impl,
+    }
+
+
+def psnr_of_render(setup: dict) -> tuple[float, float]:
+    """(PSNR vs ground truth, image std) of one production render."""
+    import jax
+    import numpy as np
+
+    out = setup["render"](setup["params"], key=jax.random.PRNGKey(0))
+    img = np.asarray(out["depth_net_rgb_map"], np.float32)
+    assert np.isfinite(img).all()
+    mse = float(np.mean((img - setup["gt"]) ** 2))
+    return -10.0 * np.log10(mse), float(img.std())
+
+
+def _measure_production() -> dict:
+    """The production-path arm: rays/s + PSNR-vs-evidence on the committed
+    trained checkpoint, bf16 and int8 (VERDICT r3 asks #1/#2)."""
+    import json as _json
+
+    import jax
+
+    if not os.path.exists(PROD_CKPT):
+        print("[bench] no committed production checkpoint; skipping arm",
+              file=sys.stderr)
+        return {}
+    expected = (
+        _json.load(open(PROD_EXPECTED)) if os.path.exists(PROD_EXPECTED)
+        else {}
+    ).get("example", {})
+
+    res: dict = {}
+    for impl, prefix in (("pallas", "production"), ("pallas_int8", "int8")):
+        setup = production_render_setup(PROD_CKPT, impl)
+        psnr, img_std = psnr_of_render(setup)
+        print(f"[bench] {prefix} ({impl}): PSNR {psnr:.2f} dB, std {img_std:.4f}",
+              file=sys.stderr)
+        assert img_std > 0.01, f"{impl}: rendered image is ~constant"
+        if impl == "pallas" and "psnr_view0" in expected:
+            delta = abs(psnr - expected["psnr_view0"])
+            assert delta <= 0.2, (
+                f"production PSNR {psnr:.3f} vs evidence "
+                f"{expected['psnr_view0']} (|delta| {delta:.3f} > 0.2 dB)"
+            )
+
+        def run_once(i, _setup=setup):
+            out = _setup["render"](
+                _setup["params"], key=jax.random.fold_in(jax.random.PRNGKey(1), i)
+            )
+            return float(out["depth_net_rgb_map"][0, 0, 0])
+
+        run_once(0)  # warm
+        dt = _timed_median(run_once, prefix)
+        res[f"{prefix}_rays_per_sec"] = round(setup["n_rays"] / dt, 1)
+        res[f"{prefix}_psnr"] = round(psnr, 3)
+    if "psnr_view0" in expected:
+        res["production_psnr_expected"] = expected["psnr_view0"]
+    res["production_cell"] = "depth_net uniform/64/1.0, 400^2 test view 0"
+    return res
+
+
+def _measure_tpu_with_retries() -> tuple[float, dict]:
     """Run the TPU measurement in a subprocess, retrying transients.
 
     A fresh process per attempt matters: a FAILED_PRECONDITION / wedged
@@ -292,12 +459,17 @@ def _measure_tpu_with_retries() -> float:
             [sys.executable, os.path.abspath(__file__), "--tpu-worker"],
             capture_output=True,
             text=True,
-            timeout=1800,
+            timeout=2400,
             cwd=_DIR,
         )
+        rays, prod = None, {}
         for line in proc.stdout.splitlines():
             if line.startswith("TPU_RAYS_PER_SEC="):
-                return float(line.split("=", 1)[1])
+                rays = float(line.split("=", 1)[1])
+            elif line.startswith("PROD_JSON="):
+                prod = json.loads(line.split("=", 1)[1])
+        if rays is not None:
+            return rays, prod
         last_tail = (proc.stderr or "")[-2000:]
         print(
             f"[bench] TPU attempt {attempt}/{RETRIES} failed (rc={proc.returncode}); "
@@ -313,8 +485,9 @@ def _measure_tpu_with_retries() -> float:
 def main() -> None:
     if "--tpu-worker" in sys.argv:
         print(f"TPU_RAYS_PER_SEC={_measure_tpu()}")
+        print(f"PROD_JSON={json.dumps(_measure_production())}")
         return
-    tpu_rays = _measure_tpu_with_retries()
+    tpu_rays, prod = _measure_tpu_with_retries()
     torch_rays = _measure_torch_baseline()
     print(
         json.dumps(
@@ -323,6 +496,10 @@ def main() -> None:
                 "value": round(tpu_rays, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(tpu_rays / torch_rays, 2),
+                # production arm: trained checkpoint, DepthNet oracle +
+                # uniform/64 populate (the method's actual operating point),
+                # bf16 + int8, PSNR tied to the committed evidence
+                **prod,
             }
         )
     )
