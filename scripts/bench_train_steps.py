@@ -95,6 +95,23 @@ def main():
     dstate = init_state(depth_net_init(ks[2], p.depth), opt)
     print(f"depth scan-{K}: {run_multi(step, dstate):.1f} it/s", flush=True)
 
+    # --- depth-net mode, int8 oracle (W8A8 frozen-NeRF pass)
+    import dataclasses
+
+    from nerf_sampling_tpu.kernels.quant import calibrate_nerf_quant
+
+    b0 = batches(1)[0]
+    calib_c = calibrate_nerf_quant(nerf_params.coarse, p.nerf, b0[:, 0:3], b0[:, 3:6])
+    calib_f = calibrate_nerf_quant(nerf_params.fine, p.fine, b0[:, 0:3], b0[:, 3:6])
+    p_q = dataclasses.replace(
+        p, mlp_impl="pallas_int8", quant_calib=(calib_c, calib_f)
+    )
+    step_q = make_depth_net_train_step(p_q, opt, frozen_nerf=nerf_params)
+    dstate = init_state(depth_net_init(ks[2], p.depth), opt)
+    print(f"depth int8 single: {run_single(step_q, dstate):.1f} it/s", flush=True)
+    dstate = init_state(depth_net_init(ks[2], p.depth), opt)
+    print(f"depth int8 scan-{K}: {run_multi(step_q, dstate):.1f} it/s", flush=True)
+
     # --- vanilla nerf mode
     p2 = cfg.pipeline(with_depth=False)
     nopt = make_nerf_optimizer(5e-4, 250)

@@ -153,6 +153,58 @@ def main() -> None:
     dmean = float(jnp.abs(out_g["rgb_map"].mean(0) - out_x["rgb_map"].mean(0)).max())
     print(f"gaussian mean-rgb delta (different PRNG streams): {dmean:.5f}")
 
+    # 4b. int8 (W8A8) kernels: on-chip throughput vs bf16 + closeness.
+    # Tolerance context: int8 carries ~7-bit activations, so vs the bf16
+    # kernel expect rgb mae in the 1e-2 class on this chaotic random
+    # field; the real acceptance gate is the trained-field PSNR delta
+    # (bench production arm / RESULTS.md).
+    from nerf_sampling_tpu.kernels.quant import calibrate_nerf_quant
+
+    calib = calibrate_nerf_quant(params, cfg, ro_j[:2048], rd_j[:2048])
+    for S in (64,):
+        fn_q = jax.jit(
+            lambda S=S: fused_render(
+                params, cfg, ro_j, rd_j, n_samples=S, quant=calib
+            )
+        )
+        out_q, dt_q = timeit(fn_q)
+        fn_b = jax.jit(lambda S=S: fused_render(params, cfg, ro_j, rd_j, n_samples=S))
+        out_b, dt_b = timeit(fn_b)
+        err = float(jnp.abs(out_q["rgb_map"] - out_b["rgb_map"]).mean())
+        ok = bool(jnp.isfinite(out_q["rgb_map"]).all())
+        print(
+            f"int8 fused_render S={S}: {n / dt_q / 1e3:.0f} krays/s "
+            f"(bf16 {n / dt_b / 1e3:.0f}, x{dt_b / dt_q:.2f}) "
+            f"rgb mae vs bf16={err:.4f} finite={ok}"
+        )
+    fn_q = jax.jit(
+        lambda: fused_render_hier(
+            params, cfg, None, None, ro_j, rd_j, n_coarse=64,
+            n_importance=128, quant=calib,
+        )
+    )
+    out_q, dt_q = timeit(fn_q)
+    fn_b = jax.jit(
+        lambda: fused_render_hier(
+            params, cfg, None, None, ro_j, rd_j, n_coarse=64, n_importance=128
+        )
+    )
+    out_b, dt_b = timeit(fn_b)
+    err = float(jnp.abs(out_q["rgb_map"] - out_b["rgb_map"]).mean())
+    ok = bool(jnp.isfinite(out_q["rgb_map"]).all())
+    print(
+        f"int8 fused_hier 64+128: {n / dt_q / 1e3:.0f} krays/s "
+        f"(bf16 {n / dt_b / 1e3:.0f}, x{dt_b / dt_q:.2f}) "
+        f"rgb mae vs bf16={err:.4f} finite={ok}"
+    )
+    fn_q = jax.jit(
+        lambda: fused_render_around_depth(
+            params, cfg, ro_j, rd_j, depth, n_samples=64, std=1.0, quant=calib
+        )
+    )
+    out_q, dt_q = timeit(fn_q)
+    print(f"int8 around_depth S=64: {n / dt_q / 1e3:.0f} krays/s")
+
     # 5. COMPARE dispatch on chip: fp32 kernels (diagnostic mode) vs XLA.
     # Round 3 tightened the CPU-interpret tolerance to 3e-4; this checks the
     # same bound holds for the REAL Mosaic lowering (the bf16 dispatch
