@@ -338,6 +338,9 @@ def production_render_setup(ckpt_path: str, mlp_impl: str = "pallas") -> dict:
         f"{ROOT_DIR}/experiments/configs/lego.yaml",
         "recommended_depth_net_module",
     )
+    # run.py's hard overrides (reference run.py:101-109) — the trained
+    # checkpoint's DepthNet is 10x256, not the TrainerConfig default 6x256
+    cfg.n_layers, cfg.layer_width, cfg.sphere_radius = 10, 256, 2
     pipeline = dataclasses.replace(
         cfg.pipeline(with_depth=True),
         n_depth_samples=64,
