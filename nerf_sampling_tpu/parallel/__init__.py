@@ -7,6 +7,7 @@ parameters; XLA inserts the gradient all-reduce over ICI automatically.
 """
 
 from nerf_sampling_tpu.parallel.mesh import (
+    make_hybrid_mesh,
     make_mesh,
     ray_sharding,
     replicated_sharding,
@@ -22,6 +23,7 @@ from nerf_sampling_tpu.parallel.ops import (
 from nerf_sampling_tpu.parallel.render import render_image_sharded
 
 __all__ = [
+    "make_hybrid_mesh",
     "make_mesh",
     "make_sharded_depth_train_step",
     "make_sharded_eval",

@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from nerf_sampling_tpu.parallel.mesh import RAY_AXIS
 from nerf_sampling_tpu.render.engine import (
     EvalMode,
     NeRFParams,
@@ -66,8 +65,15 @@ def render_image_sharded(
         ro, rd = np.asarray(ro), np.asarray(rd)
     focal = float(K[0][0])
 
+    axes = tuple(mesh.axis_names)  # ("rays",) or ("dcn", "rays")
+
     def shard_fn(prm, ro_s, rd_s, k):
-        k = jax.random.fold_in(k, jax.lax.axis_index(RAY_AXIS))
+        # Linear shard index over however many mesh axes there are, so each
+        # shard's stochastic draws differ on hybrid meshes too.
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        k = jax.random.fold_in(k, idx)
         return render_flat_rays(
             pipeline, prm, ro_s, rd_s, k,
             mode=mode, chunk=chunk, full_outputs=full_outputs,
@@ -78,8 +84,8 @@ def render_image_sharded(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P()),
-            out_specs=P(RAY_AXIS),
+            in_specs=(P(), P(axes), P(axes), P()),
+            out_specs=P(axes),
         )
     )
     flat = fn(params, ro, rd, key)

@@ -328,10 +328,10 @@ def make_multi_step(
             return jax.jit(fn, donate_argnums=donate)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from nerf_sampling_tpu.parallel.mesh import RAY_AXIS
-
         rep = NamedSharding(mesh, P())
-        stack_sh = NamedSharding(mesh, P(None, RAY_AXIS))
+        # Dim 1 (rays) shards over every mesh axis — ("rays",) on the 1-D
+        # mesh, ("dcn", "rays") DCN-major on a hybrid multi-host mesh.
+        stack_sh = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
         in_sh = (rep,) * n_leading_state_args + (stack_sh, rep, rep)
         out_states = (rep,) * (n_leading_state_args - (1 if with_const else 0))
         return jax.jit(

@@ -332,3 +332,141 @@ class TestShardedTrainerSteps:
         nstate, dstate, metrics = step(nstate, dstate, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
         assert int(nstate.step) == 1 and int(dstate.step) == 1
+
+
+class TestHybridMesh:
+    """make_hybrid_mesh — 2-D [dcn, rays] mesh for DCN-connected pods.
+
+    Single-process stand-in: ``groups=2`` splits the 8 virtual CPU devices
+    into a [2, 4] mesh (two fake "hosts" of four chips). Every sharded entry
+    point is axis-name generic via ray_sharding, so the hybrid shape must
+    reproduce the single-device math exactly — these tests pin that."""
+
+    @pytest.fixture(scope="class")
+    def hmesh(self):
+        from nerf_sampling_tpu.parallel import make_hybrid_mesh
+
+        assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+        return make_hybrid_mesh(jax.devices()[:8], groups=2)
+
+    def test_shape_and_ray_spec(self, hmesh):
+        from nerf_sampling_tpu.parallel import ray_sharding
+
+        assert hmesh.axis_names == ("dcn", "rays")
+        assert dict(hmesh.shape) == {"dcn": 2, "rays": 4}
+        # leading dim shards over BOTH axes, DCN-major
+        assert tuple(ray_sharding(hmesh).spec[0]) == ("dcn", "rays")
+
+    def test_groups_must_divide(self):
+        from nerf_sampling_tpu.parallel import make_hybrid_mesh
+
+        with pytest.raises(ValueError, match="divisible"):
+            make_hybrid_mesh(jax.devices()[:8], groups=3)
+
+    def test_single_process_defaults_to_one_row(self):
+        from nerf_sampling_tpu.parallel import make_hybrid_mesh
+
+        m = make_hybrid_mesh(jax.devices()[:8])
+        assert dict(m.shape) == {"dcn": 1, "rays": 8}
+
+    def test_eval_matches_unsharded(self, hmesh):
+        p = tiny_pipeline()
+        params = bundle(p)
+        rays = rays_for(p, 64)
+        key = jax.random.PRNGKey(0)
+        want = render_rays_eval(p, params, rays, key, EvalMode.FULL_NERF)
+        sharded = make_sharded_eval(p, hmesh, EvalMode.FULL_NERF)
+        got = sharded(params, shard_ray_batch(hmesh, rays), key)
+        np.testing.assert_allclose(
+            np.asarray(got["depth_net_rgb_map"]),
+            np.asarray(want["depth_net_rgb_map"]),
+            atol=5e-4,
+        )
+
+    def test_nerf_grads_match_unsharded(self, hmesh):
+        """The hierarchical (2-axis) gradient all-reduce must reproduce the
+        single-device step — same psum sum, just decomposed per mesh row."""
+        p = tiny_pipeline()
+        params = bundle(p)._replace(depth=None)
+        opt = make_nerf_optimizer(1e-3, 250)
+        rays = rays_for(p, 64)
+        target = jnp.full((64, 3), 0.25)
+        key = jax.random.PRNGKey(3)
+
+        copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+        s1 = init_state(copy(params), opt)
+        ref_step = make_nerf_train_step(p, opt)
+        s1, m1 = ref_step(s1, (rays, target), key)
+
+        s2 = init_state(copy(params), opt)
+        dp_step = make_sharded_nerf_train_step(p, opt, hmesh)
+        s2, m2 = dp_step(s2, shard_ray_batch(hmesh, (rays, target)), key)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+    def test_render_image_matches_single_device(self, hmesh):
+        from nerf_sampling_tpu.parallel.render import render_image_sharded
+        from nerf_sampling_tpu.render import render_image
+
+        p = tiny_pipeline()
+        params = bundle(p)
+        H, W, focal = 8, 8, 10.0
+        K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]], np.float32)
+        c2w = np.array([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.0]], np.float32)
+        key = jax.random.PRNGKey(0)
+        a = render_image(p, params, H, W, K, c2w, key, EvalMode.FULL_NERF)
+        b = render_image_sharded(
+            p, params, H, W, K, c2w, key, hmesh, mode=EvalMode.FULL_NERF
+        )
+        assert b["depth_net_rgb_map"].shape == (H, W, 3)
+        np.testing.assert_allclose(
+            np.asarray(a["depth_net_rgb_map"]),
+            np.asarray(b["depth_net_rgb_map"]),
+            rtol=2e-5, atol=2e-5,
+        )
+
+    def test_scan_matches_per_step_hybrid(self, hmesh):
+        """make_multi_step(mesh=hybrid): the scanned [K, N, 9] stack shards
+        dim 1 over both axes and matches the per-step hybrid-sharded loop."""
+        from nerf_sampling_tpu.parallel import ray_sharding
+        from nerf_sampling_tpu.train.steps import make_multi_step
+
+        p = tiny_pipeline()
+        params = bundle(p)._replace(depth=None)
+        opt = make_nerf_optimizer(1e-3, 250)
+        K, N = 2, 64
+        rng = np.random.default_rng(7)
+        stack = np.zeros((K, N, 9), np.float32)
+        stack[..., 2] = 4.0
+        stack[..., 3:6] = rng.uniform(-0.2, 0.2, (K, N, 3))
+        stack[..., 5] = -1.0
+        stack[..., 6:9] = rng.uniform(0, 1, (K, N, 3))
+        base_key = jax.random.PRNGKey(11)
+        copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+
+        dp_step = make_sharded_nerf_train_step(p, opt, hmesh)
+        s1 = init_state(copy(params), opt)
+        seq_losses = []
+        rs = ray_sharding(hmesh)
+        for j in range(K):
+            s1, m = dp_step(
+                s1, jax.device_put(stack[j], rs),
+                jax.random.fold_in(base_key, 1 + j),
+            )
+            seq_losses.append(float(m["loss"]))
+
+        step = make_nerf_train_step(p, opt)
+        multi = make_multi_step(step, n_states=1, mesh=hmesh)
+        s2, ms = multi(init_state(copy(params), opt), stack, base_key, 1)
+        assert jax.tree.leaves(s2.params)[0].sharding.is_fully_replicated
+        np.testing.assert_allclose(
+            np.asarray(ms["loss"]), np.asarray(seq_losses), rtol=1e-6, atol=0
+        )
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )
