@@ -55,8 +55,7 @@ def make_global_batch(p, mesh):
     jax.make_array_from_process_local_data — exactly how a pod host feeds
     its shard of a globally-sharded batch.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
+    from nerf_sampling_tpu.parallel.mesh import ray_sharding
     from nerf_sampling_tpu.render import make_ray_batch
 
     rng = np.random.default_rng(0)
@@ -66,7 +65,10 @@ def make_global_batch(p, mesh):
     target = np.full((N_RAYS, 3), 0.25, np.float32)
     rays = make_ray_batch(p, jnp.asarray(ro), jnp.asarray(rd))
 
-    sh = NamedSharding(mesh, P("rays"))
+    # axis-generic: P("rays") on the 1-D mesh, P(("dcn","rays")) on the
+    # hybrid mesh. DCN-major order keeps each process's rows contiguous,
+    # so the local-row slice below is identical in both shapes.
+    sh = ray_sharding(mesh)
     nproc = jax.process_count()
     rows = N_RAYS // nproc
     lo = jax.process_index() * rows
@@ -82,16 +84,20 @@ def make_global_batch(p, mesh):
     return jax.tree.map(globalize, (rays, target))
 
 
-def build_setup():
+def build_setup(hybrid: bool = False):
     """Pipeline + initial state + global mesh + sharded step.
 
     Shared by the worker and the single-process ground truth in
     tests/test_multihost.py so the two computations are structurally
-    identical.
+    identical. With ``hybrid=True`` the mesh is the 2-D [dcn, rays] shape
+    (one row per process on the cluster; groups=2 stand-in single-process),
+    so the dcn axis genuinely crosses process boundaries in the cluster
+    run — the DCN-layout path a multi-host pod takes.
     """
     from jax.sharding import Mesh
 
     from nerf_sampling_tpu.models import NeRFConfig, nerf_init
+    from nerf_sampling_tpu.parallel.mesh import make_hybrid_mesh
     from nerf_sampling_tpu.parallel.ops import make_sharded_nerf_train_step
     from nerf_sampling_tpu.render import NeRFParams, Pipeline
     from nerf_sampling_tpu.train.state import init_state, make_nerf_optimizer
@@ -107,7 +113,14 @@ def build_setup():
     )
     opt = make_nerf_optimizer(1e-3, 250)
     state = init_state(params, opt)
-    mesh = Mesh(np.array(jax.devices()), ("rays",))
+    if hybrid:
+        mesh = (
+            make_hybrid_mesh()
+            if jax.process_count() > 1
+            else make_hybrid_mesh(groups=2)
+        )
+    else:
+        mesh = Mesh(np.array(jax.devices()), ("rays",))
     step = make_sharded_nerf_train_step(p, opt, mesh)
     return p, state, mesh, step
 
@@ -148,13 +161,14 @@ def render_sharded(p, params, mesh):
 
 def main() -> None:
     out_path = sys.argv[1]
+    hybrid = len(sys.argv) > 2 and sys.argv[2] == "hybrid"
 
     from nerf_sampling_tpu.parallel.ops import maybe_initialize_distributed
 
     maybe_initialize_distributed(SimpleNamespace(multihost=True))
     assert jax.process_count() > 1, "cluster did not form"
 
-    p, state, mesh, step = build_setup()
+    p, state, mesh, step = build_setup(hybrid=hybrid)
     batch = make_global_batch(p, mesh)
 
     # multi-host full-image render at the (deterministic, process-identical)
@@ -184,6 +198,7 @@ def main() -> None:
                 "process_id": jax.process_index(),
                 "n_processes": jax.process_count(),
                 "n_devices": len(jax.devices()),
+                "mesh_shape": dict(mesh.shape),
                 "losses": losses,
                 "param_checksum": checksum,
                 "render_rgb": np.asarray(rgb, np.float64).reshape(-1).tolist(),

@@ -34,7 +34,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_cluster(tmp_path, port: int, attempt: int):
+def _run_cluster(tmp_path, port: int, attempt: int, extra_args: list[str] = []):
     """Launch the 2-process cluster on `port`; returns (returncodes, logs, outs)."""
     procs, outs = [], []
     try:
@@ -52,7 +52,7 @@ def _run_cluster(tmp_path, port: int, attempt: int):
             env.pop("XLA_FLAGS", None)
             procs.append(
                 subprocess.Popen(
-                    [sys.executable, WORKER, str(out)],
+                    [sys.executable, WORKER, str(out), *extra_args],
                     env=env,
                     stdout=subprocess.PIPE,
                     stderr=subprocess.STDOUT,
@@ -69,13 +69,12 @@ def _run_cluster(tmp_path, port: int, attempt: int):
     return [p.returncode for p in procs], logs, outs
 
 
-@pytest.mark.slow
-def test_two_process_cluster_matches_single_process(tmp_path):
+def _run_cluster_with_retry(tmp_path, extra_args: list[str] = []):
     # _free_port closes the probe socket before the coordinator binds it, so
     # another process can steal the port in between (TOCTOU); retry on a
     # fresh port when the failure looks like a bind/address clash.
     for attempt in range(3):
-        rcs, logs, outs = _run_cluster(tmp_path, _free_port(), attempt)
+        rcs, logs, outs = _run_cluster(tmp_path, _free_port(), attempt, extra_args)
         if all(rc == 0 for rc in rcs):
             break
         joined = "\n".join(logs)
@@ -84,8 +83,21 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         )
         if not (bindish and attempt < 2):
             assert False, f"worker failed:\n{joined[-3000:]}"
+    return [json.loads(out.read_text()) for out in outs]
 
-    results = [json.loads(out.read_text()) for out in outs]
+
+def _load_smoke():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("mh_smoke", WORKER)
+    smoke = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(smoke)
+    return smoke
+
+
+def _check_cluster_vs_local(results, hybrid: bool):
+    import jax
+
     for r in results:
         assert r["n_processes"] == 2 and r["n_devices"] == 8
 
@@ -96,15 +108,8 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     # ground truth: identical computation on this process's local
     # 8-device mesh (conftest forces 8 virtual CPU devices here), built
     # by the same build_setup the workers use
-    import importlib.util
-
-    import jax
-
-    spec = importlib.util.spec_from_file_location("mh_smoke", WORKER)
-    smoke = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(smoke)
-
-    p, state, mesh, step = smoke.build_setup()
+    smoke = _load_smoke()
+    p, state, mesh, step = smoke.build_setup(hybrid=hybrid)
     batch = smoke.make_global_batch(p, mesh)
     losses = []
     for i in range(smoke.N_STEPS):
@@ -128,7 +133,28 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         np.asarray(results[0]["render_rgb_trained"]),
         np.asarray(results[1]["render_rgb_trained"]),
     )
-    p2, state2, mesh2, _step2 = smoke.build_setup()
+    p2, state2, mesh2, _step2 = smoke.build_setup(hybrid=hybrid)
     local_rgb = smoke.render_sharded(p2, state2.params, mesh2).reshape(-1)
     assert np.isfinite(local_rgb).all()
     np.testing.assert_allclose(rgb0, local_rgb, rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_cluster_matches_single_process(tmp_path):
+    results = _run_cluster_with_retry(tmp_path)
+    for r in results:
+        assert r["mesh_shape"] == {"rays": 8}
+    _check_cluster_vs_local(results, hybrid=False)
+
+
+@pytest.mark.slow
+def test_two_process_cluster_hybrid_mesh(tmp_path):
+    """The [dcn, rays] hybrid mesh with its dcn axis ACTUALLY crossing
+    process boundaries: one mesh row per cluster process, gradient
+    all-reduce decomposing over in-process shards then cross-process Gloo
+    (the DCN stand-in). Must reproduce the single-process [2, 4] hybrid
+    mesh's losses and render."""
+    results = _run_cluster_with_retry(tmp_path, extra_args=["hybrid"])
+    for r in results:
+        assert r["mesh_shape"] == {"dcn": 2, "rays": 4}
+    _check_cluster_vs_local(results, hybrid=True)
