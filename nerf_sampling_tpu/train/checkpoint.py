@@ -68,13 +68,21 @@ def load_checkpoint(path: str, template: Any, partial: bool = False) -> tuple[An
 
 def find_checkpoints(dirpath: str, pattern: str = r"\.(npz|tar)$") -> list[str]:
     """Sorted checkpoint paths in a directory (reference nerf_utils.py:451-458
-    sorts by filename; zero-padded step names keep that correct)."""
+    sorts by filename; zero-padded step names keep that correct).
+
+    Same-step tie-break: the native ``.npz`` sorts AFTER the ``.tar`` export
+    so resume (which takes the last entry) picks the checkpoint that also
+    carries optimizer moments — plain lexical order would pick the .tar and
+    silently downgrade an exact resume to a params-only one.
+    """
     if not os.path.isdir(dirpath):
         return []
     return [
         os.path.join(dirpath, f)
-        for f in sorted(os.listdir(dirpath))
-        if re.search(pattern, f)
+        for f in sorted(
+            (f for f in os.listdir(dirpath) if re.search(pattern, f)),
+            key=lambda f: (os.path.splitext(f)[0], f.endswith(".npz")),
+        )
     ]
 
 

@@ -163,6 +163,7 @@ class Trainer:
             )
         params = self._init_params()
         self._resume_ckpt_path: str | None = None
+        self._depth_state = None  # live joint-mode depth TrainState (for ckpt)
 
         # --- NeRF restore (reference nerf_utils.py:451-467: ft_path or newest)
         nerf_ckpts = (
@@ -191,7 +192,23 @@ class Trainer:
                 params = params._replace(
                     coarse=tree["params"].coarse, fine=tree["params"].fine
                 )
-                if cfg.train_mode == "nerf":
+                # Joint-mode checkpoints carry the depth net in the same
+                # (non-depth_-prefixed) file; a joint resume must restore it
+                # or the depth net silently restarts from init.
+                if (
+                    with_depth
+                    and cfg.depth_net_path in (None, "None")
+                    and params.depth is not None
+                ):
+                    try:
+                        dtree, _ = ckpt_lib.load_checkpoint(
+                            path, {"params": NeRFParams(None, None, params.depth)}
+                        )
+                        params = params._replace(depth=dtree["params"].depth)
+                        print(f"Reloading DepthNet from {path} (joint checkpoint)")
+                    except KeyError:
+                        pass  # NeRF-only pretrain: keep the fresh depth init
+                if cfg.train_mode in ("nerf", "joint"):
                     self._resume_ckpt_path = path
 
         # --- DepthNet restore (reference sampling_trainer.py:82-108)
@@ -348,6 +365,21 @@ class Trainer:
                 print(f"Restored optimizer state from {self._resume_ckpt_path}")
             except KeyError:
                 pass
+            if depth_state is not None:
+                try:
+                    restored, _ = ckpt_lib.load_checkpoint(
+                        self._resume_ckpt_path,
+                        {"depth_opt_state": depth_state.opt_state},
+                    )
+                    depth_state = depth_state._replace(
+                        opt_state=restored["depth_opt_state"]
+                    )
+                    print(
+                        "Restored depth optimizer state from "
+                        f"{self._resume_ckpt_path}"
+                    )
+                except KeyError:
+                    pass  # pre-fix or NeRF-only ckpt: fresh depth moments
 
         if cfg.debug_nans:
             from nerf_sampling_tpu.utils.profiling import enable_nan_debugging
@@ -405,6 +437,7 @@ class Trainer:
             elif cfg.train_mode == "joint":
                 state, depth_state, metrics = step_fn(state, depth_state, batch, key)
                 self.params = state.params._replace(depth=depth_state.params)
+                self._depth_state = depth_state
             else:
                 state, metrics = step_fn(state, batch, key)
                 self.params = state.params._replace(depth=None)
@@ -523,6 +556,7 @@ class Trainer:
             if mode == "joint":
                 state, depth_state, ms = multi(state, depth_state, stack, base_key, i)
                 self.params = state.params._replace(depth=depth_state.params)
+                self._depth_state = depth_state
             elif depth_mode:
                 state, ms = multi(frozen_nerf, state, stack, base_key, i)
                 self.params = frozen_nerf._replace(depth=state.params)
@@ -682,6 +716,10 @@ class Trainer:
             "params": self.params,
             "opt_state": state.opt_state,
         }
+        if self._depth_state is not None:
+            # joint mode: persist the depth optimizer moments alongside the
+            # NeRF ones so a joint resume is exact for both nets
+            tree["depth_opt_state"] = self._depth_state.opt_state
         outdir = os.path.join(self.expdir, subdir) if subdir else self.expdir
         os.makedirs(outdir, exist_ok=True)
         path = os.path.join(outdir, f"{i:06d}.npz")

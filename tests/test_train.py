@@ -543,6 +543,44 @@ class TestJointTraining:
         assert np.isfinite(psnr)
         assert os.path.exists(os.path.join(t.expdir, "000010.npz"))
 
+    def test_trainer_joint_mode_resume(self, tmp_path):
+        """Joint-mode resume must restore BOTH nets and BOTH optimizer
+        moments from the (non-depth_-prefixed) joint checkpoint; a bug here
+        silently re-initialized the depth net on resume."""
+        datadir = generate_example_dataset(
+            str(tmp_path / "data"), H=20, W=20, n_train=3, n_val=1, n_test=1
+        )
+        common = dict(
+            dataset_type="blender", datadir=datadir, basedir=str(tmp_path / "logs"),
+            expname="joint_res", train_mode="joint", half_res=False, testskip=1,
+            N_rand=32, N_samples=8, N_importance=8, netdepth=3, netwidth=32,
+            netdepth_fine=3, netwidth_fine=32, n_layers=2, layer_width=16,
+            i_print=10, i_weights=10, i_testset=10**9, i_video=10**9,
+        )
+        t1 = Trainer(TrainerConfig(**common))
+        t1.train(N_iters=11)
+        ckpt = os.path.join(t1.expdir, "000010.npz")
+        assert os.path.exists(ckpt)
+        # the joint checkpoint carries the depth optimizer moments
+        saved = np.load(ckpt)
+        assert any(k.startswith("tree:['depth_opt_state']") for k in saved.keys())
+
+        t2 = Trainer(TrainerConfig(**common))  # same expdir -> newest ckpt
+        t2.scene = t2.load_data()
+        t2.setup_models()
+        assert t2.start == 10
+        for a, b in zip(
+            jax.tree.leaves(t1.params.depth), jax.tree.leaves(t2.params.depth)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(t1.params.fine), jax.tree.leaves(t2.params.fine)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        psnr = t2.train(N_iters=21)
+        assert np.isfinite(psnr)
+        assert os.path.exists(os.path.join(t2.expdir, "000020.npz"))
+
 
 class TestKeepBestEarlyStop:
     def test_policy(self, tmp_path, monkeypatch):
