@@ -75,6 +75,10 @@ from nerf_sampling_tpu.utils.config import (
               default="xla", show_default=True,
               help="pallas: fused-kernel hierarchical pass (depth_net mode); "
                    "pallas_int8: W8A8 frozen-NeRF oracle + eval renders.")
+@click.option("--joint_depth_warmup", default=0, show_default=True,
+              help="joint mode: freeze the depth net for the first N steps "
+                   "(0 = off) so from-scratch joint training survives the "
+                   "random-NeRF phase instead of collapsing the depth net.")
 @click.option("--ft_path", "ft_path_opt", default=None,
               help="Explicit NeRF checkpoint (.tar or .npz) to load.")
 @click.option("--testskip", default=None, type=int,
@@ -112,6 +116,7 @@ def main(**kw):
     _apply_cli("matmul_precision")
     _apply_cli("mlp_impl")
     _apply_cli("seed")
+    _apply_cli("joint_depth_warmup")
     if kw["testskip"] is not None:
         cfg.testskip = kw["testskip"]
     if cfg.train_mode == "nerf" and cfg.precrop_iters == 0:

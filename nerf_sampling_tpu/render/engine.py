@@ -111,6 +111,14 @@ class Pipeline:
     # ~10k iters, driving the post-peak eval drift (RESULTS.md); 0.0
     # trains the depth head on foreground geometry only.
     bg_depth_loss_weight: float = 1.0
+    # EXTENSION (no reference analog; 0 = off): in JOINT training, hold the
+    # depth net frozen (and drop its loss terms) for the first N steps so
+    # the NeRF stabilizes before the depth net starts fitting max_z.
+    # Measured r4: from-scratch joint training collapses the depth net in
+    # the first few hundred steps (argmax targets of a random NeRF are
+    # noise) and it never recovers — a warmup gives from-scratch joint the
+    # same dynamics as the working pretrain->joint-fine-tune recipe.
+    joint_depth_warmup: int = 0
     # MLP execution backend: "xla" (fp32 HIGHEST, differentiable — training
     # and parity), "pallas" (fused bf16 VMEM-resident kernel, eval only;
     # ~4.3x the fp32 path on v5e), or "pallas_int8" (the W8A8 variant of

@@ -431,6 +431,16 @@ def make_joint_train_step(
                 out["depth_net_z_vals"], out["max_z_vals"], acc
             )
             total = img_loss + img_loss0 + depth_img_loss + depth_loss
+            if pipeline.joint_depth_warmup:
+                # warmup: only the pure-NeRF photometric terms drive grads
+                # (the depth terms of a random NeRF are argmax noise that
+                # collapses the depth net — see Pipeline.joint_depth_warmup)
+                live = (
+                    nerf_state.step >= pipeline.joint_depth_warmup
+                ).astype(img_loss.dtype)
+                total = img_loss + img_loss0 + live * (
+                    depth_img_loss + depth_loss
+                )
             return total, (img_loss, depth_img_loss, depth_loss, diag)
 
         (ng, dg), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
@@ -442,6 +452,19 @@ def make_joint_train_step(
         new_nerf = optax.apply_updates(nerf_state.params, nu)
         du, d_opt = depth_optimizer.update(dg, depth_state.opt_state, depth_state.params)
         new_depth = optax.apply_updates(depth_state.params, du)
+        if pipeline.joint_depth_warmup:
+            # hold the depth net's params AND optimizer state exactly frozen
+            # during warmup (zero grads alone would still decay Adam moments
+            # and advance its bias-correction count)
+            live_b = nerf_state.step >= pipeline.joint_depth_warmup
+            new_depth = jax.tree.map(
+                lambda n, o: jnp.where(live_b, n, o),
+                new_depth, depth_state.params,
+            )
+            d_opt = jax.tree.map(
+                lambda n, o: jnp.where(live_b, n, o),
+                d_opt, depth_state.opt_state,
+            )
 
         metrics = {
             "loss": img_loss + depth_img_loss,

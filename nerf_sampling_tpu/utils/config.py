@@ -126,6 +126,10 @@ class TrainerConfig:
     # noise (RESULTS.md); set < 1 (e.g. 0.0) to train depth on
     # foreground geometry only.
     bg_depth_loss_weight: float = 1.0
+    # EXTENSION (0 = off): joint mode only — freeze the depth net for the
+    # first N steps so from-scratch joint training survives the random-NeRF
+    # phase (see Pipeline.joint_depth_warmup).
+    joint_depth_warmup: int = 0
 
     # render-only modes
     render_only: bool = False
@@ -221,6 +225,7 @@ class TrainerConfig:
             mlp_impl=self.mlp_impl,
             netchunk=self.netchunk,
             bg_depth_loss_weight=self.bg_depth_loss_weight,
+            joint_depth_warmup=self.joint_depth_warmup,
         )
 
 

@@ -527,6 +527,40 @@ class TestJointTraining:
             metrics[1.0]["depth_net_loss"]
         )
 
+    def test_joint_depth_warmup_gate(self):
+        """With joint_depth_warmup=N, the depth net (params AND optimizer
+        state) must stay exactly frozen while step < N and start moving at
+        step >= N; the NeRF trains throughout."""
+        import dataclasses
+
+        from nerf_sampling_tpu.train.steps import make_joint_train_step
+
+        p = dataclasses.replace(tiny_pipeline(), joint_depth_warmup=2)
+        params = tiny_bundle(p)
+        nopt = make_nerf_optimizer(1e-3, 250)
+        dopt = make_depth_optimizer(1e-3)
+        ns = init_state(params._replace(depth=None), nopt)
+        ds = init_state(params.depth, dopt)
+        step = make_joint_train_step(p, nopt, dopt)
+        ro = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), (16, 1))
+        rd = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-0.2, maxval=0.2)
+        rd = rd.at[:, 2].set(-1.0)
+        rays = make_ray_batch(p, ro, rd)
+        target = jnp.full((16, 3), 0.5)
+        d0 = jax.tree.map(lambda x: np.asarray(x).copy(), ds.params)
+        d0_opt = jax.tree.map(lambda x: np.asarray(x).copy(), ds.opt_state)
+        # steps 0 and 1: warmup — depth frozen, NeRF moves
+        for i in range(2):
+            n_before = jax.tree.map(lambda x: np.asarray(x).copy(), ns.params)
+            ns, ds, m = step(ns, ds, (rays, target), jax.random.PRNGKey(i))
+            assert not trees_equal(n_before, ns.params)
+            assert trees_equal(d0, ds.params), f"depth moved during warmup @{i}"
+            assert trees_equal(d0_opt, ds.opt_state), f"depth opt moved @{i}"
+            assert np.isfinite(float(m["loss"]))
+        # step 2: warmup over — depth starts moving
+        ns, ds, m = step(ns, ds, (rays, target), jax.random.PRNGKey(2))
+        assert not trees_equal(d0, ds.params)
+
     def test_trainer_joint_mode(self, tmp_path):
         datadir = generate_example_dataset(
             str(tmp_path / "data"), H=20, W=20, n_train=3, n_val=1, n_test=1
