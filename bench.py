@@ -388,6 +388,7 @@ def production_render_setup(ckpt_path: str, mlp_impl: str = "pallas") -> dict:
         "gt": gt,
         "n_rays": Hs * Ws,
         "mlp_impl": mlp_impl,
+        "pipeline": pipeline,
     }
 
 
