@@ -47,8 +47,11 @@ def main() -> None:
         out = setup["render"](params, key=jax.random.fold_in(jax.random.PRNGKey(1), i))
         return float(out["depth_net_rgb_map"][0, 0, 0])
 
-    dt400 = timed(run400)
-    print(f"DEPTH_NET 400^2: {dt400*1e3:.1f} ms -> {n400/dt400/1e6:.3f} M rays/s")
+    skip_measured = "--rest" in sys.argv  # sections (a)+400^2 already recorded
+
+    if not skip_measured:
+        dt400 = timed(run400)
+        print(f"DEPTH_NET 400^2: {dt400*1e3:.1f} ms -> {n400/dt400/1e6:.3f} M rays/s")
 
     # (a) same render, 4x the rays: flat-ray entry at 800^2-equivalent count
     from nerf_sampling_tpu.render import render_flat_rays
@@ -80,9 +83,10 @@ def main() -> None:
         out = flat(params, ro[:n], rd[:n], jax.random.fold_in(jax.random.PRNGKey(1), i))
         return float(out["depth_net_rgb_map"][0, 0])
 
-    for n in (160_000, 320_000, 640_000):
-        dt = timed(run_flat, n)
-        print(f"DEPTH_NET flat n={n}: {dt*1e3:.1f} ms -> {n/dt/1e6:.3f} M rays/s")
+    if not skip_measured:
+        for n in (160_000, 320_000, 640_000):
+            dt = timed(run_flat, n)
+            print(f"DEPTH_NET flat n={n}: {dt*1e3:.1f} ms -> {n/dt/1e6:.3f} M rays/s")
 
     # (b) the depth-net oracle alone
     from nerf_sampling_tpu.kernels import fused_depth_net_apply
@@ -95,7 +99,7 @@ def main() -> None:
 
     def run_dnet(n):
         d = dnet(params.depth, rays_o=ro[:n], rays_d=rd[:n])
-        return float(d[0])
+        return float(jnp.asarray(d).reshape(-1)[0])
 
     for n in (160_000, 640_000):
         dt = timed(run_dnet, n)
