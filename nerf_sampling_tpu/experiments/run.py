@@ -79,6 +79,24 @@ from nerf_sampling_tpu.utils.config import (
               help="joint mode: freeze the depth net for the first N steps "
                    "(0 = off) so from-scratch joint training survives the "
                    "random-NeRF phase instead of collapsing the depth net.")
+@click.option("--i_testset", default=20000, show_default=True,
+              help="Frequency of test-set eval renders (drives keep_best / "
+                   "early stopping; reference config_parser --i_testset).")
+@click.option("--n_devices", default=1, show_default=True,
+              help="Data-parallel scale-out: shard the ray batch over this "
+                   "many local devices (0 = all local devices). Maps to "
+                   "TrainerConfig.n_devices; the train step runs under a "
+                   "[dp] GSPMD mesh with psum'd grads. No reference analog "
+                   "(it is single-device).")
+@click.option("--steps_per_dispatch", default=0, show_default=True,
+              help="Fuse N train steps into one lax.scan dispatch (0 = auto: "
+                   "largest divisor of the logging cadences <= 100 on an "
+                   "accelerator). Amortizes per-step dispatch latency "
+                   "through the remote tunnel; composes with --n_devices.")
+@click.option("--multihost", is_flag=True, default=False, show_default=True,
+              help="Call jax.distributed.initialize() before mesh setup "
+                   "(multi-process launch: set JAX coordinator env vars or "
+                   "rely on the platform's auto-detection on each host).")
 @click.option("--ft_path", "ft_path_opt", default=None,
               help="Explicit NeRF checkpoint (.tar or .npz) to load.")
 @click.option("--testskip", default=None, type=int,
@@ -117,6 +135,10 @@ def main(**kw):
     _apply_cli("mlp_impl")
     _apply_cli("seed")
     _apply_cli("joint_depth_warmup")
+    _apply_cli("i_testset")
+    _apply_cli("n_devices")
+    _apply_cli("steps_per_dispatch")
+    _apply_cli("multihost")
     if kw["testskip"] is not None:
         cfg.testskip = kw["testskip"]
     if cfg.train_mode == "nerf" and cfg.precrop_iters == 0:
