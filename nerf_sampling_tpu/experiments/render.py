@@ -54,7 +54,10 @@ from nerf_sampling_tpu.utils.config import load_trainer_config, override_config
               default="pallas", show_default=True,
               help="pallas: fused bf16 kernels (PSNR parity validated); "
                    "pallas_int8: W8A8 eval kernels (auto-calibrated on the "
-                   "loaded checkpoint; see RESULTS.md for the PSNR delta).")
+                   "loaded checkpoint) — NOT recommended for final renders: "
+                   "trained fields lose ~8.8 dB under int8 activations "
+                   "(measured, RESULTS.md); it is quality-safe only as the "
+                   "frozen-NeRF oracle in depth-net TRAINING.")
 @click.option("--testskip", default=None, type=int,
               help="Load every Nth test/val image (reference --testskip).")
 @click.option("--ft_path", "ft_path_opt", default=None,

@@ -324,10 +324,21 @@ def unpack_qwrefs(cfg: NeRFConfig, wrefs, calib: QuantCalib) -> dict:
 
 def _requant_int(a, step, lo: int):
     """clip((a >> p) * m >> q, lo, 127).astype(int8) with round-to-nearest
-    shift bias — the probe-measured scalar integer epilogue."""
+    shift bias — the probe-measured scalar integer epilogue.
+
+    The pre-shifted accumulator is clamped to +-2^15 before the multiply:
+    m < 2^15, so the product then stays inside int32. Without the clamp an
+    activation beyond ~2x the calibrated amax (margin=1.0) overflows a*m
+    and wraps to the LOW rail — inverting large activations instead of
+    saturating them at 127 (one cheap VPU clamp buys true saturation).
+    """
     _, p, q, m = step
     if p > 0:
-        a = (a + (1 << (p - 1))) >> p
+        # (a + 2^(p-1)) >> p, written shift-first so the rounding add can
+        # never overflow int32 for accumulators near the rail; for floor
+        # (arithmetic) shifts the two forms are bit-identical for all a.
+        a = (a >> p) + ((a >> (p - 1)) & 1)
+    a = jnp.clip(a, -(1 << 15), (1 << 15) - 1)
     a = a * m
     if q > 0:
         a = (a + (1 << (q - 1))) >> q

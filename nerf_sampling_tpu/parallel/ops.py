@@ -114,6 +114,9 @@ def maybe_initialize_distributed(cfg) -> None:
 
     import jax as _jax
 
+    if _jax.distributed.is_initialized():
+        return  # idempotent: a launcher may have formed the cluster already
+
     names = ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
     vals = {n: _os.environ.get(n) for n in names}
     set_vars = [n for n, v in vals.items() if v]

@@ -89,6 +89,19 @@ def render_image_sharded(
         )
     )
     flat = fn(params, ro, rd, key)
+    if jax.process_count() > 1:
+        # The outputs are globally ray-sharded: no process can np.asarray
+        # them directly (non-addressable shards). Gather them to host numpy
+        # on EVERY process — one DCN all-gather per map at eval cadence —
+        # so downstream consumers (render_path's PSNR/PNG/psnr.txt, the
+        # Trainer's keep_best decision) see the full image everywhere and
+        # stay byte-identical across hosts.
+        from jax.experimental import multihost_utils
+
+        flat = {
+            name: multihost_utils.process_allgather(v, tiled=True)
+            for name, v in flat.items()
+        }
     return {
         name: v[:n].reshape(H, W, *v.shape[1:]) for name, v in flat.items()
     }

@@ -473,6 +473,14 @@ def make_joint_train_step(
             "psnr": mse2psnr(img_loss),
             **diag,
         }
+        if pipeline.joint_depth_warmup:
+            # expose the warmup gate so logs can tell a frozen depth net
+            # from a training one (the loss terms above are the UNGATED
+            # values — a flat depth_net_loss during warmup is expected,
+            # not a collapse)
+            metrics["depth_live"] = (
+                nerf_state.step >= pipeline.joint_depth_warmup
+            ).astype(img_loss.dtype)
         return (
             TrainState(nerf_state.step + 1, new_nerf, n_opt),
             TrainState(depth_state.step + 1, new_depth, d_opt),

@@ -100,6 +100,19 @@ class Trainer:
     def expdir(self) -> str:
         return os.path.join(self.cfg.basedir, self.cfg.expname)
 
+    @property
+    def primary(self) -> bool:
+        """True on the process that owns all filesystem/wandb writes.
+
+        Multi-process runs (jax.distributed) construct the same Trainer on
+        every host; checkpoints, logs, PNGs and psnr.txt must be written
+        exactly once (the experiment dir is shared on a pod). Eval renders
+        and keep_best/early-stop DECISIONS still run on every process —
+        they consume allgathered, process-identical values — so control
+        flow never diverges across hosts.
+        """
+        return jax.process_index() == 0
+
     def load_data(self) -> SceneData:
         """Dispatch on dataset_type (reference per-dataset trainers)."""
         cfg = self.cfg
@@ -129,7 +142,11 @@ class Trainer:
         return scene
 
     def create_log_dir_and_dump_config(self) -> None:
-        """args.txt + config copy (reference Trainer.py:148-160)."""
+        """args.txt + config copy (reference Trainer.py:148-160).
+
+        Process 0 only: on a pod the experiment dir is shared storage."""
+        if not self.primary:
+            return
         os.makedirs(self.expdir, exist_ok=True)
         with open(os.path.join(self.expdir, "args.txt"), "w") as f:
             for k, v in dataclasses.asdict(self.cfg).items():
@@ -236,6 +253,21 @@ class Trainer:
 
         self.params = params
         if self.pipeline.mlp_impl == "pallas_int8" and self.scene is not None:
+            if cfg.train_mode in ("nerf", "joint") and not cfg.render_only:
+                # Calibration is a one-shot over the params restored HERE;
+                # these modes then update the NeRF for thousands of steps,
+                # so every periodic i_testset eval (which drives keep_best /
+                # early stopping) would render through increasingly stale
+                # activation scales and could silently select the wrong
+                # 'best' checkpoint. int8 is only valid where the NeRF is
+                # frozen: the depth_net-mode oracle and render-only paths.
+                raise ValueError(
+                    "mlp_impl='pallas_int8' requires a frozen NeRF (its "
+                    "activation calibration is per-checkpoint); train_mode="
+                    f"'{cfg.train_mode}' updates the NeRF. Use mlp_impl="
+                    "'pallas' for nerf/joint training; int8 is for "
+                    "depth_net training and render-only evaluation."
+                )
             # int8 eval kernels need a per-checkpoint calibration; the
             # frozen NeRF just restored is exactly what the depth-train
             # oracle / eval renders will query
@@ -261,10 +293,33 @@ class Trainer:
         for the single-device case.
         """
         cfg = self.cfg
-        from nerf_sampling_tpu.parallel import make_mesh, maybe_initialize_distributed
+        from nerf_sampling_tpu.parallel import (
+            make_hybrid_mesh,
+            make_mesh,
+            maybe_initialize_distributed,
+        )
 
         maybe_initialize_distributed(cfg)
-        n = cfg.n_devices if cfg.n_devices != 0 else jax.device_count()
+        total = jax.device_count()
+        n = cfg.n_devices if cfg.n_devices != 0 else total
+        if jax.process_count() > 1:
+            # Multi-process: every host must participate in one global mesh,
+            # laid out hierarchically ([dcn, rays]: one row per host, the
+            # rays axis ICI-local) so the gradient all-reduce decomposes
+            # into a fast in-host phase + one small cross-host DCN phase.
+            if n != total:
+                raise ValueError(
+                    f"multi-process training uses ALL global devices: "
+                    f"n_devices={cfg.n_devices} but the {jax.process_count()}"
+                    f"-process cluster exposes {total} (set n_devices=0)"
+                )
+            if self.primary:
+                print(
+                    f"[trainer] multi-host data-parallel: "
+                    f"{jax.process_count()} processes x "
+                    f"{len(jax.local_devices())} devices (hybrid [dcn, rays] mesh)"
+                )
+            return make_hybrid_mesh()
         if n <= 1:
             return None
         devices = jax.devices()[:n]
@@ -275,6 +330,42 @@ class Trainer:
         print(f"[trainer] data-parallel over {n} devices")
         return make_mesh(devices)
 
+    def _shard_batch(self, batch: np.ndarray, sharding) -> jax.Array:
+        """Place a host batch onto the mesh with its RAY dim sharded.
+
+        Single-process: plain device_put. Multi-process: each host
+        contributes only its own contiguous row block through
+        ``jax.make_array_from_process_local_data`` — the pod batch-feed
+        pattern (a host only ever touches the rows its devices will hold;
+        here every host *derives* the identical global batch from the
+        shared sampler stream and slices out its share). Row contiguity per
+        process holds on both mesh shapes because ray_sharding is DCN-major
+        on the hybrid mesh (parallel/mesh.py).
+
+        The ray dim is the leading one except for the scanned path's
+        [K, N, C] stack, where it is dim 1 — inferred from the sharding
+        spec so both call sites share this helper.
+        """
+        nproc = jax.process_count()
+        if nproc == 1:
+            return jax.device_put(batch, sharding)
+        spec = sharding.spec
+        ray_dim = next(i for i, s in enumerate(spec) if s is not None)
+        n = batch.shape[ray_dim]
+        if n % nproc:
+            raise ValueError(
+                f"ray batch of {n} rows not divisible by {nproc} processes"
+            )
+        rows = n // nproc
+        lo = jax.process_index() * rows
+        idx = tuple(
+            slice(lo, lo + rows) if d == ray_dim else slice(None)
+            for d in range(batch.ndim)
+        )
+        return jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(batch[idx]), global_shape=batch.shape
+        )
+
     def train(self, N_iters: int = 200001) -> float:
         cfg = self.cfg
         _enable_compilation_cache()
@@ -282,7 +373,9 @@ class Trainer:
         self.scene = self.load_data()
         self.create_log_dir_and_dump_config()
         self.setup_models()
-        self.logger = MetricsLogger(self.expdir, cfg.wandb_mode, cfg)
+        self.logger = MetricsLogger(
+            self.expdir, cfg.wandb_mode, cfg, enabled=self.primary
+        )
 
         if cfg.render_only:
             return self.render_only_path()
@@ -405,7 +498,15 @@ class Trainer:
 
             ray_shd = ray_sharding(self.mesh)
             # replicate the frozen NeRF once; the sharded depth step takes it
-            # as an explicit (non-donated) argument
+            # as an explicit (non-donated) argument. Through host numpy on a
+            # multi-process mesh: a committed single-device array cannot be
+            # auto-resharded onto non-addressable devices, but every process
+            # holds the identical full value (same checkpoint / same init
+            # key), so replication needs no communication.
+            if jax.process_count() > 1:
+                frozen_nerf = jax.tree.map(
+                    lambda x: None if x is None else np.asarray(x), frozen_nerf
+                )
             frozen_nerf = jax.device_put(
                 frozen_nerf, replicated_sharding(self.mesh)
             )
@@ -426,7 +527,7 @@ class Trainer:
             # made host-side make_ray_batch cost ~200 ms/iter)
             batch = np.concatenate([ro, rd, target], -1)
             if ray_shd is not None:
-                batch = jax.device_put(batch, ray_shd)
+                batch = self._shard_batch(batch, ray_shd)
             key = jax.random.fold_in(base_key, i)
             if cfg.train_mode == "depth_net":
                 if self.mesh is not None:
@@ -544,10 +645,24 @@ class Trainer:
         metrics: dict[str, Any] = {}
         pbar = tqdm(total=N_iters - 1 - self.start)
 
+        stack_shd = None
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-process: feed each host's row block explicitly (the same
+            # make_array_from_process_local_data path as the per-step loop);
+            # dim 1 of the [K, N, C] stack is the ray axis (make_multi_step)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            stack_shd = NamedSharding(
+                self.mesh, P(None, tuple(self.mesh.axis_names))
+            )
+
         def build_stack(i0: int, k: int) -> np.ndarray:
-            return np.stack(
+            stack = np.stack(
                 [np.concatenate(sampler.sample(i0 + j), -1) for j in range(k)]
             )
+            if stack_shd is not None:
+                return self._shard_batch(stack, stack_shd)
+            return stack
 
         i = self.start + 1
         k = min(n_scan, N_iters - i)
@@ -606,8 +721,16 @@ class Trainer:
             self.save_checkpoint(i, state)
 
         if i % cfg.i_testset == 0 and i > 0 and len(scene.i_test) > 0:
-            testsavedir = os.path.join(self.expdir, f"testset_{i:06d}")
-            os.makedirs(testsavedir, exist_ok=True)
+            # Multi-process: the sharded render below is a GLOBAL SPMD
+            # program — every process must execute it — and its maps come
+            # back allgathered and process-identical, so the PSNR (and the
+            # keep_best / early-stop decisions derived from it) agree across
+            # hosts without any extra synchronization. Only the artifact
+            # writes (PNGs, psnr.txt, checkpoints) are primary-gated.
+            testsavedir = None
+            if self.primary:
+                testsavedir = os.path.join(self.expdir, f"testset_{i:06d}")
+                os.makedirs(testsavedir, exist_ok=True)
             _, _, avg_psnr = render_path(
                 self.pipeline,
                 self.params,
@@ -625,7 +748,8 @@ class Trainer:
             )
             self._avg_eval_psnr = avg_psnr
             self.logger.log({"test_psnr": avg_psnr}, i)
-            print(f"Saved test set (avg PSNR {avg_psnr:.3f})")
+            if self.primary:
+                print(f"Saved test set (avg PSNR {avg_psnr:.3f})")
             # best-checkpoint selection / early stop on eval PSNR
             if avg_psnr > self._best_psnr + 1e-6:
                 self._best_psnr = avg_psnr
@@ -645,8 +769,10 @@ class Trainer:
                     )
                     self._stop_early = True
             if cfg.save_train_set_render:
-                trainsavedir = os.path.join(self.expdir, f"trainset_{i:06d}")
-                os.makedirs(trainsavedir, exist_ok=True)
+                trainsavedir = None
+                if self.primary:
+                    trainsavedir = os.path.join(self.expdir, f"trainset_{i:06d}")
+                    os.makedirs(trainsavedir, exist_ok=True)
                 render_path(
                     self.pipeline,
                     self.params,
@@ -676,16 +802,18 @@ class Trainer:
                 dn_loss = float(metrics["depth_net_loss"])
                 info += f", Depth Net Loss: {dn_loss}"
                 scalars["Depth net loss"] = dn_loss
-            for k in ("depth_loss_fg", "depth_loss_bg", "fg_frac"):
+            for k in ("depth_loss_fg", "depth_loss_bg", "fg_frac",
+                      "depth_live"):
                 if k in metrics:
                     scalars[k] = float(metrics[k])
             info += f", PSNR: {psnr:.5f}"
-            print(info)
             if timer is not None:
                 scalars.update(timer.metrics())
             self.logger.log(scalars, i)
-            with open(os.path.join(self.expdir, "psnr.txt"), "a") as f:
-                f.write(f"{info}\n")
+            if self.primary:
+                print(info)
+                with open(os.path.join(self.expdir, "psnr.txt"), "a") as f:
+                    f.write(f"{info}\n")
             if self.trial is not None:
                 self._report_trial(psnr, i)
 
@@ -710,7 +838,13 @@ class Trainer:
 
     def save_checkpoint(self, i: int, state: TrainState, subdir: str = "") -> None:
         """subdir="best" writes the keep_best snapshot out of the resume
-        scan's way (setup_models picks the newest ckpt in expdir itself)."""
+        scan's way (setup_models picks the newest ckpt in expdir itself).
+
+        Process 0 only: params/opt_state are replicated, so its local shards
+        hold the full value and the other hosts would write identical bytes
+        to the same shared path."""
+        if not self.primary:
+            return
         cfg = self.cfg
         tree = {
             "params": self.params,
@@ -770,6 +904,8 @@ class Trainer:
             verbose=False,
             mesh=self.mesh,
         )
+        if not self.primary:
+            return  # the render above ran globally; only process 0 encodes
         moviebase = os.path.join(self.expdir, f"{cfg.expname}_spiral_{i:06d}_")
         from nerf_sampling_tpu.utils.video import write_video
 
@@ -791,13 +927,15 @@ class Trainer:
         else:
             poses = scene.render_poses
             gt = None
-        testsavedir = os.path.join(
-            self.expdir,
-            "renderonly_{}_{:06d}".format(
-                "test" if cfg.render_test else "path", self.global_step
-            ),
-        )
-        os.makedirs(testsavedir, exist_ok=True)
+        testsavedir = None
+        if self.primary:
+            testsavedir = os.path.join(
+                self.expdir,
+                "renderonly_{}_{:06d}".format(
+                    "test" if cfg.render_test else "path", self.global_step
+                ),
+            )
+            os.makedirs(testsavedir, exist_ok=True)
         rgbs, _, avg_psnr = render_path(
             self.pipeline,
             self.params,
@@ -815,8 +953,12 @@ class Trainer:
             logger=self.logger,
             mesh=self.mesh,
         )
-        print("Done rendering", testsavedir)
-        from nerf_sampling_tpu.utils.video import write_video
+        if self.primary:
+            print("Done rendering", testsavedir)
+            from nerf_sampling_tpu.utils.video import write_video
 
-        print("video:", write_video(os.path.join(testsavedir, "video"), to8b(rgbs)))
+            print(
+                "video:",
+                write_video(os.path.join(testsavedir, "video"), to8b(rgbs)),
+            )
         return avg_psnr

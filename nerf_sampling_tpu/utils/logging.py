@@ -15,11 +15,26 @@ from typing import Any
 
 
 class MetricsLogger:
-    def __init__(self, logdir: str, wandb_mode: str = "disabled", config: Any = None):
+    def __init__(
+        self,
+        logdir: str,
+        wandb_mode: str = "disabled",
+        config: Any = None,
+        enabled: bool = True,
+    ):
+        """``enabled=False`` turns every method into a no-op (no file is
+        opened, no wandb init). Used by multi-process training, where only
+        process 0 owns the metrics/wandb stream — the other hosts construct
+        the same Trainer but must not duplicate writes into the shared
+        experiment dir."""
         self.logdir = logdir
+        self.enabled = enabled
+        self._jsonl = None
+        self._wandb = None
+        if not enabled:
+            return
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
-        self._wandb = None
         if wandb_mode != "disabled":
             try:
                 import wandb
@@ -35,6 +50,8 @@ class MetricsLogger:
                 print("[logging] wandb not installed; falling back to jsonl")
 
     def log(self, metrics: dict[str, float], step: int) -> None:
+        if not self.enabled:
+            return
         rec = {"step": step, "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -58,6 +75,8 @@ class MetricsLogger:
         points exist, and goes to wandb when available, else to PNG + pickle
         under ``<logdir>/ray_plots/`` (view with viz.visualize.view_plot).
         """
+        if not self.enabled:
+            return
         import numpy as np
 
         rgb = np.asarray(maps["depth_net_rgb_map"])
@@ -108,6 +127,7 @@ class MetricsLogger:
             pass  # matplotlib missing: image-level logging above still ran
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._wandb is not None:
             self._wandb.finish()

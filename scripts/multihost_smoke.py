@@ -151,12 +151,82 @@ def render_sharded(p, params, mesh):
         p, params, h, w, K, jnp.asarray(c2w), jax.random.PRNGKey(7), mesh,
         mode=EvalMode.FULL_NERF, chunk=256,
     )
-    rgb = maps["depth_net_rgb_map"]
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
+    # render_image_sharded allgathers its outputs to full host arrays on
+    # every process when the mesh spans processes, so no extra gather here.
+    return np.asarray(maps["depth_net_rgb_map"])
 
-        return np.asarray(multihost_utils.process_allgather(rgb, tiled=True))
-    return np.asarray(rgb)
+
+N_TRAIN_ITERS = 8
+
+
+def trainer_config(datadir: str, basedir: str, train_mode: str,
+                   steps_per_dispatch: int):
+    """The tiny end-to-end Trainer config for the cluster test.
+
+    Shared by the cluster workers (multihost=True) and the in-test
+    single-process ground truth (multihost=False) so the two runs differ
+    ONLY in process topology. Cadences exercise i_print, i_weights,
+    i_testset (incl. keep_best) within N_TRAIN_ITERS steps.
+    """
+    from nerf_sampling_tpu.utils.config import TrainerConfig
+
+    return TrainerConfig(
+        dataset_type="blender", datadir=datadir, basedir=basedir,
+        expname=f"mh_{train_mode}", train_mode=train_mode,
+        netdepth=2, netwidth=16, netdepth_fine=2, netwidth_fine=16,
+        n_layers=2, layer_width=16,
+        N_samples=4, N_importance=4, N_rand=32, half_res=False, testskip=1,
+        precrop_iters=0, i_print=2, i_weights=4, i_testset=4, i_video=10**9,
+        export_torch_ckpt=False, keep_best=True, n_devices=0,
+        steps_per_dispatch=steps_per_dispatch, seed=3,
+        joint_depth_warmup=2 if train_mode == "joint" else 0,
+    )
+
+
+def run_trainer(out_path: str) -> None:
+    """One cluster process of an end-to-end ``Trainer.train`` run.
+
+    argv: out.json trainer <datadir> <basedir> <train_mode> <spd>. The
+    REAL production entry point — not the bespoke step harness above —
+    runs on the 2-process mesh: multi-host batch feed
+    (make_array_from_process_local_data), global sharded eval renders,
+    keep_best, and process-0-only artifact writes.
+    """
+    datadir, basedir, train_mode, spd = sys.argv[3:7]
+    from nerf_sampling_tpu.train.trainer import Trainer
+
+    # Per-process basedir: process 0 must populate its tree, process 1
+    # must leave its own completely untouched — the write-discipline proof.
+    basedir = os.path.join(basedir, f"proc{jax.process_index()}")
+    cfg = trainer_config(datadir, basedir, train_mode, int(spd))
+    cfg.multihost = True
+    t = Trainer(cfg)
+    final_psnr = t.train(N_iters=N_TRAIN_ITERS + 1)
+
+    checksum = float(
+        sum(
+            jnp.sum(jnp.abs(leaf)).item()
+            for leaf in jax.tree.leaves(t.params)
+        )
+    )
+    with open(out_path, "w") as fp:
+        json.dump(
+            {
+                "process_id": jax.process_index(),
+                "n_processes": jax.process_count(),
+                "n_devices": len(jax.devices()),
+                "mesh_shape": dict(t.mesh.shape),
+                "final_psnr": final_psnr,
+                "best_psnr": t._best_psnr,
+                "eval_psnr": t._avg_eval_psnr,
+                "param_checksum": checksum,
+            },
+            fp,
+        )
+    print(
+        f"[multihost_smoke trainer p{jax.process_index()}] "
+        f"final={final_psnr} best={t._best_psnr}"
+    )
 
 
 def main() -> None:
@@ -167,6 +237,10 @@ def main() -> None:
 
     maybe_initialize_distributed(SimpleNamespace(multihost=True))
     assert jax.process_count() > 1, "cluster did not form"
+
+    if len(sys.argv) > 2 and sys.argv[2] == "trainer":
+        run_trainer(out_path)
+        return
 
     p, state, mesh, step = build_setup(hybrid=hybrid)
     batch = make_global_batch(p, mesh)

@@ -32,7 +32,9 @@ def strip_checkpoint(src: str, dst: str) -> None:
     d = np.load(src)
     out = {}
     for k in d.files:
-        if k.startswith("tree:['opt_state']"):
+        if k.startswith(("tree:['opt_state']", "tree:['depth_opt_state']")):
+            # joint-mode checkpoints carry BOTH optimizers' moments; neither
+            # belongs in committed evidence (params-only snapshots)
             continue
         a = d[k]
         out[k] = a.astype(np.float16) if a.dtype == np.float32 else a

@@ -224,3 +224,26 @@ class TestEngineInt8:
                 pipe, params, ro, rd, jax.random.PRNGKey(0),
                 mode=EvalMode.FULL_NERF,
             )
+
+
+class TestRequantSaturation:
+    def test_overflow_saturates_high_not_wraps(self):
+        """An accumulator far beyond the calibrated range must clip to the
+        HIGH rail (127), not wrap int32 through t*m and land at the low
+        rail — the 'saturates gracefully' contract of the module docstring.
+        Regression for the pre-shift clamp in _requant_int."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from nerf_sampling_tpu.kernels.quant import _decompose, _requant_int
+
+        # a step calibrated for amax_int ~ 2^20 (p>0 so the pre-shift runs)
+        step = ("int",) + _decompose((2.0**20) / 127.0)
+        assert step[1] > 0
+        in_range = jnp.array([2**19], jnp.int32)
+        assert int(_requant_int(in_range, step, 0)[0]) > 0
+        # 100x the calibrated amax: must saturate at 127 on both clip modes
+        huge = jnp.array([np.int32(2**31 - 1)], jnp.int32)
+        assert int(_requant_int(huge, step, 0)[0]) == 127
+        assert int(_requant_int(huge, step, -127)[0]) == 127
+        assert int(_requant_int(-huge, step, -127)[0]) == -127
