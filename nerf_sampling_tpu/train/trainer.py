@@ -861,6 +861,19 @@ class Trainer:
             path = os.path.join(outdir, f"depth_{i:06d}.npz")
         ckpt_lib.save_checkpoint(path, tree, i)
         if cfg.export_torch_ckpt and not subdir:
+            # route each live optax state to its torch Adam (SURVEY §7
+            # round-trip): depth_net mode steps only the sampling optimizer
+            # (like the reference), nerf mode only the NeRF one, joint both
+            nerf_opt = state.opt_state if cfg.train_mode != "depth_net" else None
+            depth_opt = (
+                state.opt_state
+                if cfg.train_mode == "depth_net"
+                else (
+                    self._depth_state.opt_state
+                    if self._depth_state is not None
+                    else None
+                )
+            )
             ckpt_lib.export_torch_checkpoint(
                 os.path.join(self.expdir, f"{i:06d}.tar"),
                 i,
@@ -869,6 +882,9 @@ class Trainer:
                 self.params.depth,
                 lrate=cfg.lrate,
                 depth_net_lr=cfg.depth_net_lr,
+                nerf_opt_state=nerf_opt,
+                depth_opt_state=depth_opt,
+                lrate_decay=cfg.lrate_decay,
             )
         print("Saved checkpoints at", path)
 

@@ -181,3 +181,134 @@ class TestTorchInterop:
         # --- optimizer state dicts are torch-Adam loadable (resume parity)
         opt = torch.optim.Adam(dmodel.parameters(), lr=1e-4)
         opt.load_state_dict(data["sampling_optimizer_state_dict"])
+
+    def test_adam_moments_round_trip_bitwise(self, tmp_path, rng):
+        """SURVEY §7: optimizer state must round-trip on export. Live optax
+        Adam moments (after real update steps) export into the .tar's torch
+        Adam state dicts; loading them into torch.optim.Adam over
+        reference-shaped modules (exactly what the reference's load_nerf /
+        load_depth_network do, utils.py:92-122) must reproduce our mu/nu
+        BITWISE as exp_avg/exp_avg_sq, keyed in the reference's
+        parameters() order, with optax's count as the per-param step."""
+        import optax
+
+        from nerf_sampling_tpu.render.engine import NeRFParams
+        from nerf_sampling_tpu.train import checkpoint as ckpt_lib
+        from nerf_sampling_tpu.train.state import (
+            init_state,
+            make_depth_optimizer,
+            make_nerf_optimizer,
+        )
+
+        nerf_cfg = NeRFConfig(
+            D=3, W=16, input_ch=63, input_ch_views=27, output_ch=5,
+            skips=(1,), use_viewdirs=True,
+        )
+        depth_cfg = DepthNetConfig(
+            hidden_sizes=(8, 8), cat_hidden_sizes=(8, 8), multires=10,
+            near=2.0, far=6.0, sphere_radius=2.0,
+        )
+        nerf_params = NeRFParams(
+            coarse=nerf_init(jax.random.PRNGKey(0), nerf_cfg),
+            fine=nerf_init(jax.random.PRNGKey(1), nerf_cfg),
+        )
+        depth_params = depth_net_init(jax.random.PRNGKey(2), depth_cfg)
+
+        # real optax steps so mu/nu/count are non-trivial
+        def advance(opt, params, key, n=3):
+            state = init_state(params, opt)
+            for i in range(n):
+                k = jax.random.fold_in(key, i)
+                grads = jax.tree.map(
+                    lambda p: jax.random.normal(
+                        jax.random.fold_in(k, hash(p.shape) % 1000), p.shape
+                    ),
+                    params,
+                )
+                upd, new_opt = opt.update(grads, state.opt_state, state.params)
+                state = state._replace(
+                    params=optax.apply_updates(state.params, upd),
+                    opt_state=new_opt,
+                )
+            return state
+
+        nerf_state = advance(
+            make_nerf_optimizer(5e-4, 250), nerf_params, jax.random.PRNGKey(7)
+        )
+        depth_state = advance(
+            make_depth_optimizer(1e-4), depth_params, jax.random.PRNGKey(8)
+        )
+
+        step = 12345
+        tar = os.path.join(tmp_path, f"{step:06d}.tar")
+        ckpt_lib.export_torch_checkpoint(
+            tar, step,
+            nerf_state.params.coarse, nerf_state.params.fine,
+            depth_state.params,
+            nerf_opt_state=nerf_state.opt_state,
+            depth_opt_state=depth_state.opt_state,
+            lrate=5e-4, depth_net_lr=1e-4, lrate_decay=250,
+        )
+        data = torch.load(tar, weights_only=True)
+
+        # decayed lr at the export step (reference Trainer.py:546-551)
+        want_lr = 5e-4 * 0.1 ** (step / (250 * 1000))
+        np.testing.assert_allclose(
+            data["optimizer_state_dict"]["param_groups"][0]["lr"], want_lr
+        )
+
+        # NeRF: one torch Adam over coarse+fine grad_vars (nerf_utils.py:417-442)
+        coarse_m = RefNeRF(3, 16, 63, 27, skips=[1])
+        fine_m = RefNeRF(3, 16, 63, 27, skips=[1])
+        coarse_m.load_state_dict(data["network_fn_state_dict"], strict=True)
+        fine_m.load_state_dict(data["network_fine_state_dict"], strict=True)
+        grad_vars = list(coarse_m.parameters()) + list(fine_m.parameters())
+        topt = torch.optim.Adam(grad_vars, lr=5e-4, betas=(0.9, 0.999))
+        topt.load_state_dict(data["optimizer_state_dict"])
+
+        _, mu, nu = ckpt_lib._find_adam_moments(nerf_state.opt_state)
+        order_c = ckpt_lib._nerf_param_order(nerf_state.params.coarse)
+        mu_sd = ckpt_lib.nerf_params_to_torch(mu.coarse)
+        nu_sd = ckpt_lib.nerf_params_to_torch(nu.coarse)
+        mu_sd.update(
+            {f"F.{k}": v for k, v in
+             ckpt_lib.nerf_params_to_torch(mu.fine).items()}
+        )
+        nu_sd.update(
+            {f"F.{k}": v for k, v in
+             ckpt_lib.nerf_params_to_torch(nu.fine).items()}
+        )
+        names = order_c + [f"F.{n}" for n in order_c]
+        assert len(names) == len(grad_vars)
+        for p, nm in zip(grad_vars, names):
+            st = topt.state[p]
+            assert float(st["step"]) == 3.0  # optax count after 3 updates
+            np.testing.assert_array_equal(
+                st["exp_avg"].numpy(), mu_sd[nm].numpy(), err_msg=nm
+            )
+            np.testing.assert_array_equal(
+                st["exp_avg_sq"].numpy(), nu_sd[nm].numpy(), err_msg=nm
+            )
+            assert st["exp_avg"].shape == p.shape
+
+        # DepthNet: the sampling optimizer (sampling_trainer.py:78-80)
+        dmodel = RefDepthNet((8, 8), (8, 8))
+        dmodel.load_state_dict(data["depth_network"], strict=True)
+        dopt = torch.optim.Adam(dmodel.parameters(), lr=1e-4)
+        dopt.load_state_dict(data["sampling_optimizer_state_dict"])
+        _, dmu, dnu = ckpt_lib._find_adam_moments(depth_state.opt_state)
+        dmu_sd = ckpt_lib.depth_net_params_to_torch(dmu)
+        dnu_sd = ckpt_lib.depth_net_params_to_torch(dnu)
+        dorder = ckpt_lib._depth_param_order(depth_state.params)
+        dparams = list(dmodel.parameters())
+        assert len(dorder) == len(dparams)
+        for p, nm in zip(dparams, dorder):
+            st = dopt.state[p]
+            assert float(st["step"]) == 3.0
+            np.testing.assert_array_equal(
+                st["exp_avg"].numpy(), dmu_sd[nm].numpy(), err_msg=nm
+            )
+            np.testing.assert_array_equal(
+                st["exp_avg_sq"].numpy(), dnu_sd[nm].numpy(), err_msg=nm
+            )
+            assert st["exp_avg"].shape == p.shape
