@@ -548,3 +548,263 @@ class TestCrossImplementationGradientParity:
         assert np.linalg.norm(a) > 0  # non-vacuous
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos >= 1.0 - 1e-6, cos
+
+
+class TestCrossImplementationNeRFGradientParity:
+    """Vanilla + joint gradients vs torch autograd (VERDICT r4 ask #3).
+
+    The depth-step class above checks only the sampling-optimizer grads.
+    Here the VANILLA hierarchical objective — img2mse(fine_rgb, target) +
+    img2mse(coarse_rgb, target), the wiring the reference's
+    core_optimization_loop intends (Trainer.py:526-539) — is
+    backpropagated through the reference's own coarse/fine hooks
+    (Trainer.sample_coarse_points / sample_fine_points, :579-710) w.r.t.
+    BOTH NeRFs' params, and compared against jax.grad of
+    make_nerf_train_step's loss on the shared .tar, run through BOTH MLP
+    implementations:
+
+      * mlp_impl="xla" — the fp32 parity path;
+      * mlp_impl="pallas" — the custom-VJP fused kernel
+        (kernels/fused_nerf_vjp.py, interpret mode, fp32 lanes), whose
+        backward was previously validated only against our own XLA twin —
+        a shared transcription error in both JAX paths would have
+        survived the entire suite. torch is the independent referee.
+
+    The joint step's combined objective (both nets) is checked the same
+    way: torch accumulates the depth-path backward (reference render
+    train path) and the vanilla backward into the same .grad buffers —
+    gradients of a sum == sum of gradients over deterministic forwards.
+    """
+
+    def _target(self, ref):
+        from nerf_sampling_tpu.data.example import _render_analytic
+
+        K, c2w = _camera(ref.h, ref.w)
+        gt = _render_analytic(ref.h, ref.w, float(K[0, 0]), np.asarray(c2w))
+        return gt.reshape(-1, 3).astype(np.float32)
+
+    def _torch_rays(self, ref):
+        import torch
+
+        from nerf_sampling_tpu.core.rays import get_rays_np
+
+        K, c2w = _camera(ref.h, ref.w)
+        ro, rd = get_rays_np(ref.h, ref.w, K, c2w[:3, :4])
+        rays_o = torch.tensor(ro.reshape(-1, 3))
+        rays_d = torch.tensor(rd.reshape(-1, 3))
+        viewdirs = rays_d / torch.norm(rays_d, dim=-1, keepdim=True)
+        n = rays_o.shape[0]
+        near = torch.full((n, 1), 2.0)
+        far = torch.full((n, 1), 6.0)
+        return rays_o, rays_d, viewdirs, near, far
+
+    def _reference_vanilla_backward(self, ref, target):
+        """One backward of the intended vanilla loss through the
+        reference's own sampling hooks; grads accumulate into the live
+        module .grad buffers (caller zeroes/collects)."""
+        import torch
+
+        tr, kw = ref.trainer, ref.kw_train
+        helpers = ref.nerf_utils.run_nerf_helpers
+        rays_o, rays_d, viewdirs, near, far = self._torch_rays(ref)
+        (rgb_map, disp_map, acc_map, weights, _depth, z_vals, _w2, _raw,
+         _alphas) = tr.sample_coarse_points(
+            near=near, far=far, perturb=0.0, N_rays=rays_o.shape[0],
+            N_samples=ref.pipeline.N_samples, viewdirs=viewdirs,
+            network_fn=kw["network_fn"],
+            network_query_fn=kw["network_query_fn"],
+            rays_o=rays_o, rays_d=rays_d, raw_noise_std=0.0,
+            white_bkgd=True, pytest=False, lindisp=False,
+        )
+        (rgb0, _d0, _a0, fine_rgb, *_rest) = tr.sample_fine_points(
+            z_vals=z_vals, weights=weights, perturb=0.0, pytest=False,
+            rays_d=rays_d, rays_o=rays_o, rgb_map=rgb_map,
+            disp_map=disp_map, acc_map=acc_map, network_fn=kw["network_fn"],
+            network_fine=kw["network_fine"],
+            network_query_fn=kw["network_query_fn"], viewdirs=viewdirs,
+            raw_noise_std=0.0, white_bkgd=True,
+        )
+        t = torch.tensor(target)
+        loss = helpers.img2mse(fine_rgb, t) + helpers.img2mse(rgb0, t)
+        loss.backward()
+
+    def _collect_nerf_grads(self, ref):
+        out = {}
+        for net, mod in (("coarse", ref.kw_train["network_fn"]),
+                         ("fine", ref.kw_train["network_fine"])):
+            for name, p in mod.named_parameters():
+                out[f"{net}.{name}"] = (
+                    None if p.grad is None else p.grad.detach().numpy().copy()
+                )
+        return out
+
+    def _zero_grads(self, ref):
+        for mod in (ref.kw_train["network_fn"], ref.kw_train["network_fine"],
+                    ref.kw_train["depth_network"]):
+            for p in mod.parameters():
+                p.grad = None
+
+    def _our_vanilla_grads(self, ref, mlp_impl):
+        import dataclasses
+
+        import jax
+
+        from nerf_sampling_tpu.core.metrics import img2mse
+        from nerf_sampling_tpu.core.rays import get_rays_np
+        from nerf_sampling_tpu.render import NeRFParams
+        from nerf_sampling_tpu.render.engine import (
+            make_ray_batch,
+            render_rays_vanilla,
+        )
+
+        pipeline = dataclasses.replace(ref.pipeline, mlp_impl=mlp_impl)
+        K, c2w = _camera(ref.h, ref.w)
+        ro, rd = get_rays_np(ref.h, ref.w, K, c2w[:3, :4])
+        rays = make_ray_batch(pipeline, ro.reshape(-1, 3), rd.reshape(-1, 3))
+        target = self._target(ref)
+
+        def loss_fn(params):
+            out = render_rays_vanilla(pipeline, params, rays, jax.random.PRNGKey(0))
+            return img2mse(out["rgb_map"], target) + img2mse(out["rgb0"], target)
+
+        grads = jax.grad(loss_fn)(
+            NeRFParams(ref.params.coarse, ref.params.fine, None)
+        )
+        return grads
+
+    def _flatten_ours(self, grads):
+        from nerf_sampling_tpu.train.checkpoint import nerf_params_to_torch
+
+        out = {}
+        for net, tree in (("coarse", grads.coarse), ("fine", grads.fine)):
+            for k, v in nerf_params_to_torch(tree).items():
+                out[f"{net}.{k}"] = v.numpy()
+        return out
+
+    def _assert_grads_match(self, theirs, ours, rtol, atol, tag):
+        assert set(theirs) == set(ours)
+        flat_ref, flat_ours = [], []
+        for name in sorted(theirs):
+            g_ref = theirs[name]
+            assert g_ref is not None, f"{tag}: reference grad missing at {name}"
+            np.testing.assert_allclose(
+                ours[name], g_ref, rtol=rtol, atol=atol,
+                err_msg=f"{tag}: gradient mismatch at {name}",
+            )
+            flat_ref.append(g_ref.ravel())
+            flat_ours.append(ours[name].ravel())
+        a = np.concatenate(flat_ref).astype(np.float64)
+        b = np.concatenate(flat_ours).astype(np.float64)
+        assert np.linalg.norm(a) > 0
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 1.0 - 1e-6, (tag, cos)
+
+    def test_vanilla_gradients_xla(self, ref):
+        self._zero_grads(ref)
+        self._reference_vanilla_backward(ref, self._target(ref))
+        theirs = self._collect_nerf_grads(ref)
+        ours = self._flatten_ours(self._our_vanilla_grads(ref, "xla"))
+        # same budget as the depth-grad test: forwards agree to 1e-4, a
+        # wiring error (dropped/doubled loss term) is O(1)-relative
+        self._assert_grads_match(theirs, ours, 1e-2, 5e-4, "vanilla/xla")
+
+    def test_vanilla_gradients_pallas_custom_vjp(self, ref, monkeypatch):
+        """The Pallas custom-VJP backward vs torch autograd — the first
+        check of the kernel against an implementation that shares no code
+        with it. fp32 lanes (the kernel's dtype knob) so the comparison
+        isolates kernel MATH from bf16 rounding."""
+        import jax.numpy as jnp
+
+        import nerf_sampling_tpu.kernels.fused_nerf_vjp as vjp_mod
+
+        orig = vjp_mod.fused_nerf_train_apply
+
+        def fp32_apply(*a, **k):
+            k["dtype"] = jnp.float32
+            return orig(*a, **k)
+
+        monkeypatch.setattr(vjp_mod, "fused_nerf_train_apply", fp32_apply)
+        self._zero_grads(ref)
+        self._reference_vanilla_backward(ref, self._target(ref))
+        theirs = self._collect_nerf_grads(ref)
+        ours = self._flatten_ours(self._our_vanilla_grads(ref, "pallas"))
+        self._assert_grads_match(theirs, ours, 1e-2, 5e-4, "vanilla/pallas-vjp")
+
+    def test_joint_gradients(self, ref):
+        """The joint objective's grads for BOTH nets: torch accumulates the
+        depth-path backward (reference render train path, exactly as
+        core_optimization_loop's two backward calls do) and the vanilla
+        backward into the same buffers; ours is one jax.grad of
+        make_joint_train_step's total loss."""
+        import torch
+        import torch.nn.functional as F
+
+        import jax
+
+        from nerf_sampling_tpu.core.metrics import img2mse
+        from nerf_sampling_tpu.core.rays import get_rays_np
+        from nerf_sampling_tpu.render import NeRFParams
+        from nerf_sampling_tpu.render.engine import (
+            make_ray_batch,
+            render_rays_joint,
+        )
+        from nerf_sampling_tpu.train.checkpoint import (
+            depth_net_params_to_torch,
+        )
+
+        target = self._target(ref)
+        helpers = ref.nerf_utils.run_nerf_helpers
+
+        # --- torch: depth-path losses through the reference's render()
+        self._zero_grads(ref)
+        K, c2w = _camera(ref.h, ref.w)
+        ro, rd = get_rays_np(ref.h, ref.w, K, c2w[:3, :4])
+        batch_rays = torch.stack(
+            [torch.tensor(ro.reshape(-1, 3)), torch.tensor(rd.reshape(-1, 3))], 0
+        )
+        rgb, _disp, extras = ref.nerf_utils.render(
+            ref.h, ref.w, torch.tensor(K), chunk=1 << 16, rays=batch_rays,
+            retraw=True, **ref.kw_train,
+        )
+        t = torch.tensor(target)
+        depth_img_loss = helpers.img2mse(rgb, t)
+        depth_loss = F.mse_loss(extras["depth_net_z_vals"], extras["max_z_vals"])
+        (depth_img_loss + depth_loss).backward()
+        # --- torch: + the vanilla backward (same buffers)
+        self._reference_vanilla_backward(ref, target)
+        theirs = self._collect_nerf_grads(ref)
+        theirs_depth = {
+            name: p.grad.detach().numpy().copy()
+            for name, p in ref.kw_train["depth_network"].named_parameters()
+        }
+
+        # --- ours: one jax.grad of the joint total
+        rays = make_ray_batch(
+            ref.pipeline, ro.reshape(-1, 3), rd.reshape(-1, 3)
+        )
+
+        def loss_fn(nerf_params, depth_params):
+            params = nerf_params._replace(depth=depth_params)
+            out = render_rays_joint(
+                ref.pipeline, params, rays, jax.random.PRNGKey(0)
+            )
+            return (
+                img2mse(out["rgb_map"], target)
+                + img2mse(out["rgb0"], target)
+                + img2mse(out["depth_net_rgb_map"], target)
+                + img2mse(out["depth_net_z_vals"], out["max_z_vals"])
+            )
+
+        ng, dg = jax.grad(loss_fn, argnums=(0, 1))(
+            NeRFParams(ref.params.coarse, ref.params.fine, None),
+            ref.params.depth,
+        )
+        self._assert_grads_match(
+            theirs, self._flatten_ours(ng), 1e-2, 5e-4, "joint/nerf"
+        )
+        ours_depth = {
+            k: v.numpy() for k, v in depth_net_params_to_torch(dg).items()
+        }
+        self._assert_grads_match(
+            theirs_depth, ours_depth, 1e-2, 5e-4, "joint/depth"
+        )
