@@ -40,14 +40,41 @@ _MULTI_OBJECTS = (
 )
 _TEX_FREQ = 14.0
 
+# the "llff" (forward-facing) variant: content spread IN DEPTH in front of
+# a near-planar camera cluster at z~0 looking down -z — the geometry class
+# the NDC parameterization exists for (reference load_llff.py + ndc_rays,
+# run_nerf_helpers.py:216-246). Three textured foreground spheres at
+# staggered depths plus a huge backdrop sphere so every ray has finite
+# depth (like a real captured scene; an infinite background would have
+# undefined argmax-depth targets for the DepthNet).
+_LLFF_OBJECTS = (
+    (np.array([-0.55, -0.20, -2.6], np.float32), 0.45,
+     np.array([0.95, 0.40, 0.30], np.float32)),
+    (np.array([0.60, 0.15, -3.8], np.float32), 0.60,
+     np.array([0.30, 0.55, 0.95], np.float32)),
+    (np.array([-0.05, 0.55, -5.2], np.float32), 0.75,
+     np.array([0.40, 0.90, 0.45], np.float32)),
+    # backdrop: surface crosses z ~ -8 behind the content
+    (np.array([0.0, 0.0, -30.0], np.float32), 22.0,
+     np.array([0.75, 0.70, 0.60], np.float32)),
+)
 
-def _trace_rays(ro: np.ndarray, rd: np.ndarray, variant: str) -> np.ndarray:
-    """Shade flat rays analytically -> [N, 3] float32 (white background)."""
+
+def _trace_rays(
+    ro: np.ndarray, rd: np.ndarray, variant: str, return_t: bool = False
+):
+    """Shade flat rays analytically -> [N, 3] float32 (white background).
+
+    ``return_t=True`` also returns the per-ray hit distance along the
+    NORMALIZED direction (inf where nothing is hit) — the LLFF generator
+    derives its per-image poses_bounds depth bounds from it."""
     d = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
     if variant == "sphere":
         objects = ((np.zeros(3, np.float32), _SPHERE_R, None),)
     elif variant == "multi":
         objects = _MULTI_OBJECTS
+    elif variant == "llff":
+        objects = _LLFF_OBJECTS
     else:
         raise ValueError(f"unknown example variant: {variant}")
 
@@ -81,6 +108,8 @@ def _trace_rays(ro: np.ndarray, rd: np.ndarray, variant: str) -> np.ndarray:
         shaded = albedo * lambert
         rgb = np.where(closer[:, None], shaded, rgb)
         best_t = np.where(closer, t, best_t)
+    if return_t:
+        return rgb.astype(np.float32), best_t
     return rgb.astype(np.float32)
 
 
@@ -178,4 +207,90 @@ def generate_example_dataset(
         meta = {"camera_angle_x": _CAMERA_ANGLE_X, "frames": frames}
         with open(os.path.join(basedir, f"transforms_{split}.json"), "w") as fp:
             json.dump(meta, fp)
+    return basedir
+
+
+def _lookat_c2w(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """[right, up, back] c2w rotation + eye translation (OpenGL convention,
+    the one get_rays_np expects)."""
+    back = eye - target
+    back = back / np.linalg.norm(back)
+    up_world = np.array([0.0, 1.0, 0.0], np.float32)
+    right = np.cross(up_world, back)
+    right = right / np.linalg.norm(right)
+    up = np.cross(back, right)
+    return np.stack([right, up, back, eye], -1).astype(np.float32)  # [3, 4]
+
+
+def generate_example_llff_dataset(
+    basedir: str,
+    H: int = 400,
+    W: int = 400,
+    n_images: int = 24,
+    seed: int = 0,
+) -> str:
+    """Write a procedural FORWARD-FACING scene in the exact LLFF on-disk
+    format the reference reads (load_llff.py:67-76): ``images/`` PNGs +
+    ``poses_bounds.npy`` ([N, 17]: 3x5 pose with LLFF [down, right, back]
+    rotation columns and an hwf 5th column, then [near, far] depth bounds
+    per image from the analytic geometry — the role SfM point depths play
+    in real captures).
+
+    Cameras sit on a jittered grid near z=0 (lateral spread +-0.5, depth
+    jitter +-0.1) all aimed at a shared convergence point — the capture
+    pattern the NDC reprojection (run_nerf_helpers.py:216-246) and the
+    recenter/spiral pose math assume. Content spans z in [-2.2, -8.5], so
+    after the loader's bd_factor rescale the scene exercises real NDC
+    depth range, unlike the blender-format orbit scenes.
+    """
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(seed)
+    focal = 0.5 * W / np.tan(0.5 * _CAMERA_ANGLE_X)
+    target = np.array([0.0, 0.1, -4.0], np.float32)
+
+    imgdir = os.path.join(basedir, "images")
+    os.makedirs(imgdir, exist_ok=True)
+    rows = []
+    # jittered grid: LLFF-style handheld capture pattern
+    side = int(np.ceil(np.sqrt(n_images)))
+    lin = np.linspace(-0.5, 0.5, side)
+    grid = [(x, y) for y in lin for x in lin][:n_images]
+    for i, (gx, gy) in enumerate(grid):
+        eye = np.array(
+            [
+                gx + rng.uniform(-0.04, 0.04),
+                gy * 0.6 + rng.uniform(-0.04, 0.04),
+                rng.uniform(-0.1, 0.1),
+            ],
+            np.float32,
+        )
+        c2w = _lookat_c2w(eye, target)
+        K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]])
+        ro, rd = get_rays_np(H, W, K, c2w)
+        rgb, t_hit = _trace_rays(
+            ro.reshape(-1, 3), rd.reshape(-1, 3), "llff", return_t=True
+        )
+        imageio.imwrite(
+            os.path.join(imgdir, f"image{i:03d}.png"),
+            (rgb.reshape(H, W, 3) * 255).astype(np.uint8),
+        )
+        # per-image z-depth bounds (distance along the camera forward axis)
+        d_norm = rd.reshape(-1, 3)
+        d_norm = d_norm / np.linalg.norm(d_norm, axis=-1, keepdims=True)
+        fwd = -c2w[:, 2]
+        zdepth = t_hit * (d_norm @ fwd)
+        zdepth = zdepth[np.isfinite(zdepth)]
+        near_i, far_i = float(zdepth.min() * 0.9), float(zdepth.max() * 1.1)
+        # stored rotation columns are [down(-up), right, back] — the loader
+        # reorders them back with concat([c1, -c0, c2]) (load_llff.py:250)
+        rot = np.stack([-c2w[:, 1], c2w[:, 0], c2w[:, 2]], -1)
+        pose35 = np.concatenate(
+            [rot, c2w[:, 3:4], np.array([[H], [W], [focal]], np.float32)], -1
+        )
+        rows.append(np.concatenate([pose35.ravel(), [near_i, far_i]]))
+    np.save(
+        os.path.join(basedir, "poses_bounds.npy"),
+        np.stack(rows).astype(np.float64),
+    )
     return basedir

@@ -101,6 +101,12 @@ def main(**kw):
 
             variant = "multi" if dataset_name == "example_hard" else "sphere"
             generate_example_dataset(datadir, H=800, W=800, variant=variant)
+        elif dataset_name == "example_llff" and not os.path.exists(datadir):
+            from nerf_sampling_tpu.data.example import (
+                generate_example_llff_dataset,
+            )
+
+            generate_example_llff_dataset(datadir, H=400, W=400)
         ft_path = f"{ROOT_DIR}/pretrained/nerf/{dataset_name}/200000.tar"
         depth_net_path = (
             f"{ROOT_DIR}/pretrained/depth_net/{dataset_name}/files/"

@@ -160,6 +160,13 @@ def main(**kw):
             print(f"Generating example dataset at {datadir}")
             variant = "multi" if dataset_name == "example_hard" else "sphere"
             generate_example_dataset(datadir, H=800, W=800, variant=variant)
+        elif dataset_name == "example_llff" and not os.path.exists(datadir):
+            from nerf_sampling_tpu.data.example import (
+                generate_example_llff_dataset,
+            )
+
+            print(f"Generating example LLFF dataset at {datadir}")
+            generate_example_llff_dataset(datadir, H=400, W=400)
         candidate = f"{ROOT_DIR}/pretrained/nerf/{dataset_name}/200000.tar"
         if cfg.train_mode == "depth_net":
             ft_path = candidate

@@ -107,6 +107,46 @@ class TestLLFF:
         assert scene.near > 0 and scene.far > scene.near  # bds-derived
         assert scene.render_poses.shape == (120, 3, 4)
 
+    def test_procedural_llff_scene_roundtrip(self, tmp_path):
+        """The procedural forward-facing generator writes the EXACT on-disk
+        format load_llff.py:67-76 reads; the loader must recover sane
+        geometry: finite orthonormal poses, forward-looking cameras
+        (pre-recenter), z-depth bounds spanning the analytic content
+        (~[2, 10.5] before rescale), NDC near/far, and images with real
+        content. This is the scene the NDC convergence runs train on."""
+        from nerf_sampling_tpu.data.example import generate_example_llff_dataset
+        from nerf_sampling_tpu.data.llff import load_llff_data, load_llff_scene
+
+        root = generate_example_llff_dataset(
+            str(tmp_path / "llff"), H=40, W=40, n_images=9
+        )
+        pb = np.load(os.path.join(root, "poses_bounds.npy"))
+        assert pb.shape == (9, 17)
+        assert 1.5 < pb[:, -2].min() < 2.5  # near ~ closest content z-depth
+        assert 8.0 < pb[:, -1].max() < 12.0  # far ~ backdrop z-depth
+
+        # pre-recenter poses: rotation orthonormal, cameras near the z=0
+        # plane looking down -z (back column ~ +z)
+        images, poses, bds, _rp, _it = load_llff_data(
+            root, factor=1, recenter=False, bd_factor=None
+        )
+        R = poses[:, :3, :3]
+        np.testing.assert_allclose(
+            np.einsum("nij,nkj->nik", R, R), np.tile(np.eye(3), (9, 1, 1)),
+            atol=1e-5,
+        )
+        assert (R[:, 2, 2] > 0.95).all()  # back ~ +z: forward-facing
+        assert np.abs(poses[:, 2, 3]).max() < 0.15  # eyes near z=0
+
+        cfg = TrainerConfig(
+            dataset_type="llff", datadir=root, factor=1, llffhold=8
+        )
+        scene = load_llff_scene(cfg)
+        assert (scene.near, scene.far) == (0.0, 1.0)
+        assert scene.images.shape == (9, 40, 40, 3)
+        assert scene.images.std() > 0.05
+        assert np.isfinite(scene.poses).all()
+
 
 class TestLinemod:
     def _make(self, root, H=20, W=20):
