@@ -210,6 +210,99 @@ def generate_example_dataset(
     return basedir
 
 
+def generate_example_linemod_dataset(
+    basedir: str,
+    H: int = 400,
+    W: int = 400,
+    n_train: int = 60,
+    n_val: int = 6,
+    n_test: int = 4,
+) -> str:
+    """Write the hard proxy scene in LINEMOD transforms format
+    (reference load_LINEMOD.py:45-107): blender-style split jsons whose
+    frames carry a per-frame ``intrinsic_matrix`` instead of a global
+    camera_angle_x, plus ``near``/``far`` metadata the loader floors/ceils.
+    Exercises the K-from-metadata intrinsics path (SceneData.K) end to end.
+    """
+    import imageio.v2 as imageio
+
+    focal = 0.5 * W / np.tan(0.5 * _CAMERA_ANGLE_X)
+    K = [[focal, 0.0, 0.5 * W], [0.0, focal, 0.5 * H], [0.0, 0.0, 1.0]]
+    counts = {"train": n_train, "val": n_val, "test": n_test}
+    os.makedirs(basedir, exist_ok=True)
+    for si, (split, n) in enumerate(counts.items()):
+        os.makedirs(os.path.join(basedir, split), exist_ok=True)
+        poses = _orbit_poses(n, si)
+        frames = []
+        for i, pose in enumerate(poses):
+            rgb = _render_analytic(H, W, focal, pose, "multi")
+            rgba = np.concatenate([rgb, np.ones_like(rgb[..., :1])], -1)
+            fname = f"{split}/r_{i}.png"
+            imageio.imwrite(
+                os.path.join(basedir, fname), (rgba * 255).astype(np.uint8)
+            )
+            frames.append(
+                {
+                    "file_path": fname,
+                    "transform_matrix": pose.tolist(),
+                    "intrinsic_matrix": K,
+                }
+            )
+        meta = {"frames": frames, "near": 2.2, "far": 5.8}
+        with open(os.path.join(basedir, f"transforms_{split}.json"), "w") as fp:
+            json.dump(meta, fp)
+    return basedir
+
+
+def generate_example_deepvoxels_dataset(
+    basedir: str,
+    scene: str = "cube",
+    n_train: int = 30,
+    n_val: int = 8,
+    n_test: int = 8,
+) -> str:
+    """Write the hard proxy scene in DeepVoxels on-disk layout
+    (reference load_deepvoxels.py:6-134): {split}/{scene}/intrinsics.txt +
+    pose/*.txt (4x4, the loader right-multiplies diag(1,-1,-1,1)) +
+    rgb/*.png at the loader's fixed 512x512. Cameras orbit at radius 4,
+    so the hemisphere-derived near/far (DeepvoxelsTrainer semantics,
+    deepvoxels.py:44-58) come out 3/5 around the r<=1.2 content.
+    """
+    import imageio.v2 as imageio
+
+    H = W = 512
+    focal = 0.5 * W / np.tan(0.5 * _CAMERA_ANGLE_X)
+    transf = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    splits = {"train": n_train, "validation": n_val, "test": n_test}
+    for si, (split, n) in enumerate(splits.items()):
+        base = os.path.join(basedir, split, scene)
+        os.makedirs(os.path.join(base, "pose"), exist_ok=True)
+        os.makedirs(os.path.join(base, "rgb"), exist_ok=True)
+        with open(os.path.join(base, "intrinsics.txt"), "w") as fp:
+            fp.write(f"{focal} {0.5 * W} {0.5 * H} 0.\n")
+            fp.write("0. 0. 0.\n")  # grid barycenter
+            fp.write("0.\n")  # near plane (unused by the loader)
+            fp.write("1.\n")  # scale
+            fp.write(f"{H}. {W}.\n")
+            fp.write("0\n")  # world2cam flag
+        poses = _orbit_poses(n, si)
+        for i, pose in enumerate(poses):
+            rgb = _render_analytic(H, W, focal, pose, "multi")
+            imageio.imwrite(
+                os.path.join(base, "rgb", f"{i:06d}.png"),
+                (rgb * 255).astype(np.uint8),
+            )
+            p44 = np.concatenate(
+                [pose.astype(np.float32)[:3, :4],
+                 np.array([[0, 0, 0, 1]], np.float32)], 0
+            )
+            # the loader computes c2w = stored @ transf; transf^2 = I
+            stored = p44 @ transf
+            with open(os.path.join(base, "pose", f"{i:06d}.txt"), "w") as fp:
+                fp.write(" ".join(str(float(v)) for v in stored.ravel()))
+    return basedir
+
+
 def _lookat_c2w(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
     """[right, up, back] c2w rotation + eye translation (OpenGL convention,
     the one get_rays_np expects)."""

@@ -107,6 +107,20 @@ def main(**kw):
             )
 
             generate_example_llff_dataset(datadir, H=400, W=400)
+        elif dataset_name == "example_linemod" and not os.path.exists(datadir):
+            from nerf_sampling_tpu.data.example import (
+                generate_example_linemod_dataset,
+            )
+
+            generate_example_linemod_dataset(datadir)
+        elif dataset_name == "example_deepvoxels" and not os.path.exists(
+            datadir
+        ):
+            from nerf_sampling_tpu.data.example import (
+                generate_example_deepvoxels_dataset,
+            )
+
+            generate_example_deepvoxels_dataset(datadir)
         ft_path = f"{ROOT_DIR}/pretrained/nerf/{dataset_name}/200000.tar"
         depth_net_path = (
             f"{ROOT_DIR}/pretrained/depth_net/{dataset_name}/files/"

@@ -167,6 +167,22 @@ def main(**kw):
 
             print(f"Generating example LLFF dataset at {datadir}")
             generate_example_llff_dataset(datadir, H=400, W=400)
+        elif dataset_name == "example_linemod" and not os.path.exists(datadir):
+            from nerf_sampling_tpu.data.example import (
+                generate_example_linemod_dataset,
+            )
+
+            print(f"Generating example LINEMOD dataset at {datadir}")
+            generate_example_linemod_dataset(datadir)
+        elif dataset_name == "example_deepvoxels" and not os.path.exists(
+            datadir
+        ):
+            from nerf_sampling_tpu.data.example import (
+                generate_example_deepvoxels_dataset,
+            )
+
+            print(f"Generating example DeepVoxels dataset at {datadir}")
+            generate_example_deepvoxels_dataset(datadir)
         candidate = f"{ROOT_DIR}/pretrained/nerf/{dataset_name}/200000.tar"
         if cfg.train_mode == "depth_net":
             ft_path = candidate
