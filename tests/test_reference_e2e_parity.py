@@ -507,7 +507,11 @@ class TestCrossImplementationGradientParity:
         )
         opt = optax.sgd(1.0)
         before = jax.tree.map(lambda x: np.asarray(x).copy(), ref.params.depth)
-        state = TrainState(0, ref.params.depth, opt.init(ref.params.depth))
+        # the jitted step donates its state arg (donate_argnums=(0,)); hand
+        # it copies so the module-scoped fixture's depth params survive for
+        # the joint-gradient test below
+        depth0 = jax.tree.map(lambda x: x.copy(), ref.params.depth)
+        state = TrainState(0, depth0, opt.init(depth0))
         step = make_depth_net_train_step(
             ref.pipeline, opt,
             frozen_nerf=NeRFParams(ref.params.coarse, ref.params.fine, None),
