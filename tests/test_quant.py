@@ -11,6 +11,7 @@ end-to-end int8 render stays close to fp32 on a non-vacuous field.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_sampling_tpu.kernels.fused_hier import fused_render_hier
 from nerf_sampling_tpu.kernels.fused_render import (
@@ -247,3 +248,40 @@ class TestRequantSaturation:
         assert int(_requant_int(huge, step, 0)[0]) == 127
         assert int(_requant_int(huge, step, -127)[0]) == 127
         assert int(_requant_int(-huge, step, -127)[0]) == -127
+
+
+class TestInt8TrainModeGuard:
+    @pytest.mark.parametrize("mode", ["nerf", "joint"])
+    def test_int8_rejected_when_nerf_updates(self, tmp_path, mode):
+        """mlp_impl='pallas_int8' calibrates activation scales ONCE on the
+        restored params (train/trainer.py setup_models); train modes that
+        then update the NeRF would eval/keep_best through increasingly
+        stale scales. Those modes must be rejected up front."""
+        from nerf_sampling_tpu.data.example import generate_example_dataset
+        from nerf_sampling_tpu.train.trainer import Trainer
+        from nerf_sampling_tpu.utils.config import TrainerConfig
+
+        datadir = generate_example_dataset(
+            str(tmp_path / "data"), H=16, W=16, n_train=2, n_val=1, n_test=1
+        )
+        cfg = TrainerConfig(
+            expname=f"int8_{mode}",
+            train_mode=mode,
+            mlp_impl="pallas_int8",
+            dataset_type="blender",
+            datadir=datadir,
+            basedir=str(tmp_path / "logs"),
+            half_res=False,
+            testskip=1,
+            N_rand=16,
+            N_samples=4,
+            N_importance=4,
+            netdepth=3,
+            netwidth=16,
+            netdepth_fine=3,
+            netwidth_fine=16,
+            n_layers=2,
+            layer_width=8,
+        )
+        with pytest.raises(ValueError, match="frozen NeRF"):
+            Trainer(cfg).train(N_iters=3)
