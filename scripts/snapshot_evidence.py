@@ -15,7 +15,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -35,6 +34,13 @@ def main() -> int:
             relpath = os.path.normpath(os.path.join(rel, name))
             if name in COPY_NAMES or name.endswith(COPY_SUFFIXES):
                 dst = os.path.join(OUT, relpath)
+                if os.path.exists(dst):
+                    # leave-existing-files policy (MANIFEST.md): committed
+                    # evidence cited by earlier RESULTS sections must keep
+                    # the contents of the workspace that produced those
+                    # numbers; later regenerations are equivalent but not
+                    # bit-identical.
+                    continue
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 shutil.copy2(src, dst)
                 copied.append(relpath)
@@ -51,6 +57,8 @@ def main() -> int:
                                 {"step": r.get("step"), "test_psnr": round(r["test_psnr"], 3)}
                             )
                 dst = os.path.join(OUT, os.path.normpath(os.path.join(rel, "eval_trajectory.json")))
+                if os.path.exists(dst):
+                    continue  # leave-existing-files policy (see above)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 with open(dst, "w") as f:
                     json.dump(rows, f, indent=1)
@@ -67,22 +75,11 @@ def main() -> int:
         )
         return 1
 
-    commit = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, capture_output=True, text=True
-    ).stdout.strip()
-    with open(os.path.join(OUT, "MANIFEST.md"), "w") as f:
-        f.write(
-            "# Evidence snapshot\n\n"
-            "Text artifacts copied verbatim from the gitignored logs/ tree by\n"
-            "scripts/snapshot_evidence.py (checkpoints/renders stay out of git).\n"
-            f"Snapshotted at repo commit `{commit or 'unknown'}`.\n"
-            "Regenerate logs/ itself with scripts/e2e_round3.sh then\n"
-            "scripts/regen_r3_bgw.sh (both idempotent against existing\n"
-            "checkpoints).\n\n"
-            f"- {len(copied)} files copied (psnr/sweep/ab/config)\n"
-            f"- {len(distilled)} metrics.jsonl files distilled to eval trajectories\n"
-        )
+    # MANIFEST.md carries hand-written provenance per snapshot batch — it
+    # is NOT rewritten here (a rewrite erases the per-round history).
+    # Append the provenance of the new batch to it manually.
     print(f"copied {len(copied)} files, distilled {len(distilled)} trajectories -> evidence/")
+    print("remember: append this batch's provenance to evidence/MANIFEST.md")
     return 0
 
 
