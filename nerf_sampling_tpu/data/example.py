@@ -387,3 +387,25 @@ def generate_example_llff_dataset(
         np.stack(rows).astype(np.float64),
     )
     return basedir
+
+
+def maybe_generate_example_dataset(dataset_name: str, datadir: str) -> None:
+    """Materialize the named built-in procedural scene at ``datadir`` if it
+    is not already on disk. Single dispatch point for the ``-d example*``
+    CLI names (experiments/run.py and experiments/render.py both route
+    through here so the name -> generator mapping cannot drift)."""
+    if os.path.exists(datadir):
+        return
+    if dataset_name in ("example", "example_hard"):
+        print(f"Generating example dataset at {datadir}")
+        variant = "multi" if dataset_name == "example_hard" else "sphere"
+        generate_example_dataset(datadir, H=800, W=800, variant=variant)
+    elif dataset_name == "example_llff":
+        print(f"Generating example LLFF dataset at {datadir}")
+        generate_example_llff_dataset(datadir, H=400, W=400)
+    elif dataset_name == "example_linemod":
+        print(f"Generating example LINEMOD dataset at {datadir}")
+        generate_example_linemod_dataset(datadir)
+    elif dataset_name == "example_deepvoxels":
+        print(f"Generating example DeepVoxels dataset at {datadir}")
+        generate_example_deepvoxels_dataset(datadir)

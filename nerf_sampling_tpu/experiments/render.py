@@ -94,33 +94,9 @@ def main(**kw):
     dataset_name = kw["dataset"]
     if dataset_name is not None:
         datadir = f"{ROOT_DIR}/dataset/{dataset_name}"
-        if dataset_name in ("example", "example_hard") and not os.path.exists(
-            datadir
-        ):
-            from nerf_sampling_tpu.data.example import generate_example_dataset
+        from nerf_sampling_tpu.data.example import maybe_generate_example_dataset
 
-            variant = "multi" if dataset_name == "example_hard" else "sphere"
-            generate_example_dataset(datadir, H=800, W=800, variant=variant)
-        elif dataset_name == "example_llff" and not os.path.exists(datadir):
-            from nerf_sampling_tpu.data.example import (
-                generate_example_llff_dataset,
-            )
-
-            generate_example_llff_dataset(datadir, H=400, W=400)
-        elif dataset_name == "example_linemod" and not os.path.exists(datadir):
-            from nerf_sampling_tpu.data.example import (
-                generate_example_linemod_dataset,
-            )
-
-            generate_example_linemod_dataset(datadir)
-        elif dataset_name == "example_deepvoxels" and not os.path.exists(
-            datadir
-        ):
-            from nerf_sampling_tpu.data.example import (
-                generate_example_deepvoxels_dataset,
-            )
-
-            generate_example_deepvoxels_dataset(datadir)
+        maybe_generate_example_dataset(dataset_name, datadir)
         ft_path = f"{ROOT_DIR}/pretrained/nerf/{dataset_name}/200000.tar"
         depth_net_path = (
             f"{ROOT_DIR}/pretrained/depth_net/{dataset_name}/files/"

@@ -258,14 +258,17 @@ def _nerf_param_order(params: dict) -> list[str]:
     (module attribute assignment order, run_nerf_helpers.py:87-106:
     pts_linears, views_linears, feature_linear, alpha_linear, rgb_linear) —
     torch Adam keys its per-param state by position in this sequence."""
+    if "feature_linear" not in params:
+        # The torch module's parameters() includes an always-registered
+        # views_linears (run_nerf_helpers.py:96) that a non-viewdirs tree
+        # has no moments for — callers must export a fresh optimizer
+        # instead (see export_torch_checkpoint).
+        raise ValueError(
+            "Adam-moment export is only defined for use_viewdirs=True params"
+        )
     names = [f"pts_linears.{i}" for i in range(len(params["pts_linears"]))]
-    if "feature_linear" in params:
-        names += [
-            f"views_linears.{i}" for i in range(len(params["views_linears"]))
-        ]
-        names += ["feature_linear", "alpha_linear", "rgb_linear"]
-    else:
-        names += ["output_linear"]
+    names += [f"views_linears.{i}" for i in range(len(params["views_linears"]))]
+    names += ["feature_linear", "alpha_linear", "rgb_linear"]
     return [f"{n}.{wb}" for n in names for wb in ("weight", "bias")]
 
 
@@ -356,6 +359,15 @@ def export_torch_checkpoint(
         n_nerf += len(fine_sd)
     nerf_state = None
     decayed_lr = lrate * 0.1 ** (step / (lrate_decay * 1000))
+    if nerf_opt_state is not None and "feature_linear" not in nerf_coarse:
+        # use_viewdirs=False: the reference module registers views_linears
+        # UNCONDITIONALLY (run_nerf_helpers.py:96, before the use_viewdirs
+        # branch), so its parameters() order contains two tensors our
+        # non-viewdirs tree doesn't have — positional Adam-state keying is
+        # ill-defined. Export a fresh optimizer instead of a misaligned one
+        # (the reference's depth path asserts use_viewdirs anyway,
+        # run_nerf_helpers.py:137).
+        nerf_opt_state = None
     if nerf_opt_state is not None:
         _, mu, nu = _find_adam_moments(nerf_opt_state)
         sections = [

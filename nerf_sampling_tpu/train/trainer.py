@@ -352,9 +352,16 @@ class Trainer:
         spec = sharding.spec
         ray_dim = next(i for i, s in enumerate(spec) if s is not None)
         n = batch.shape[ray_dim]
-        if n % nproc:
+        # Divisibility must hold at SHARD granularity (every device gets an
+        # equal ray block), not just per process — n % nproc == 0 alone
+        # would fail later inside make_array_from_process_local_data with
+        # an opaque shape error.
+        n_shards = nproc * len(jax.local_devices())
+        if n % n_shards:
             raise ValueError(
-                f"ray batch of {n} rows not divisible by {nproc} processes"
+                f"ray batch of {n} rows not divisible into {n_shards} "
+                f"shards ({nproc} processes x "
+                f"{len(jax.local_devices())} devices each)"
             )
         rows = n // nproc
         lo = jax.process_index() * rows
@@ -368,8 +375,14 @@ class Trainer:
 
     def train(self, N_iters: int = 200001) -> float:
         cfg = self.cfg
-        _enable_compilation_cache()
+        # Mesh (and therefore jax.distributed.initialize for --multihost)
+        # MUST come before the compilation-cache setup: _enable_compilation
+        # _cache calls jax.default_backend(), which initializes the XLA
+        # backend, and jax.distributed.initialize raises RuntimeError once
+        # the backend exists. The multihost smoke worker pre-initializes in
+        # its own main(), which masked this ordering on the cluster tests.
         self.mesh = self._setup_mesh()
+        _enable_compilation_cache()
         self.scene = self.load_data()
         self.create_log_dir_and_dump_config()
         self.setup_models()

@@ -26,14 +26,6 @@ done
 
 echo "== eval trajectories"
 for DS in example example_hard; do
-  python - <<PYEOF
-import json
-tr = []
-for line in open("logs/r5_100k_parity_${DS}/${DS}_depth_net/metrics.jsonl"):
-    r = json.loads(line)
-    if "test_psnr" in r:
-        tr.append((r["step"], round(r["test_psnr"], 3)))
-print("${DS}:", tr)
-PYEOF
+  python scripts/r5_traj_summary.py "logs/r5_100k_parity_${DS}/${DS}_depth_net"
 done
 echo done

@@ -44,8 +44,8 @@ run_fmt () {  # $1 = dataset name, $2 = module
     --basedir "logs/r5/render_${DS}_full" --mlp_impl pallas
 }
 
-run_fmt example_linemod linemod_depth_net_module
-run_fmt example_deepvoxels deepvoxels_depth_net_module
+run_fmt example_linemod linemod_depth_net_module || exit 1
+run_fmt example_deepvoxels deepvoxels_depth_net_module || exit 1
 
 echo "== summary (avg PSNR per render)"
 grep -r "Avg of" logs/r5/render_example_linemod_* logs/r5/render_example_deepvoxels_* \

@@ -51,3 +51,16 @@ def test_scale_to_near_far(rng):
         np.asarray(pts),
         np.asarray(scale_points_with_weights(z, ro, rd)),
     )
+
+
+def test_adam_export_rejects_non_viewdirs_order():
+    """The torch NeRF registers views_linears unconditionally
+    (run_nerf_helpers.py:96), so positional Adam-moment keying is undefined
+    for a use_viewdirs=False tree; the order helper must refuse rather than
+    silently misalign output_linear's moments."""
+    import pytest as _pytest
+
+    from nerf_sampling_tpu.train.checkpoint import _nerf_param_order
+
+    with _pytest.raises(ValueError, match="use_viewdirs"):
+        _nerf_param_order({"pts_linears": [None, None], "output_linear": None})

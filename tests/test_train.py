@@ -856,3 +856,50 @@ class TestHardExampleScene:
         )
         scene = load_blender_data(d, half_res=False, testskip=1)
         assert scene.images.shape[0] == 4
+
+
+class TestDistributedInitOrdering:
+    def test_distributed_init_precedes_backend_touch(self, tmp_path, monkeypatch):
+        """jax.distributed.initialize must run BEFORE anything that
+        initializes the XLA backend: _enable_compilation_cache calls
+        jax.default_backend(), and jax raises RuntimeError if the backend
+        already exists when initialize() is called. Regression for the
+        --multihost CLI path (the cluster smoke worker pre-initializes in
+        its own main(), which masked the Trainer-internal ordering)."""
+        import nerf_sampling_tpu.parallel as par
+        import nerf_sampling_tpu.train.trainer as trainer_mod
+
+        calls = []
+        monkeypatch.setattr(
+            par, "maybe_initialize_distributed",
+            lambda cfg: calls.append("distributed_init"),
+        )
+        monkeypatch.setattr(
+            trainer_mod, "_enable_compilation_cache",
+            lambda: calls.append("cache_enable"),
+        )
+        datadir = generate_example_dataset(
+            str(tmp_path / "data"), H=16, W=16, n_train=2, n_val=1, n_test=1
+        )
+        cfg = TrainerConfig(
+            expname="order",
+            train_mode="nerf",
+            dataset_type="blender",
+            datadir=datadir,
+            basedir=str(tmp_path / "logs"),
+            half_res=False,
+            testskip=1,
+            N_rand=16,
+            N_samples=4,
+            N_importance=0,
+            netdepth=2,
+            netwidth=8,
+            i_print=1000,
+            i_weights=1000,
+            i_testset=100000,
+            i_video=10_000_000,
+        )
+        from nerf_sampling_tpu.train.trainer import Trainer
+
+        Trainer(cfg).train(N_iters=2)
+        assert calls.index("distributed_init") < calls.index("cache_enable"), calls
